@@ -1,0 +1,140 @@
+"""Text-statistics column functions — native Spark expressions only.
+
+Every function returns a ``Column`` built from ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen'd). No Python executes per row here; the only
+Python-in-the-loop stages of the pipeline are the model UDFs (models/) and the
+scrubber (scrub.py), both Arrow-batched.
+
+Implements the canonical spec in ``dataquality_spark.spec`` — the pandas
+oracle (oracle.py) mirrors these definitions exactly.
+
+Reference kernels re-expressed (cites into /root/reference):
+  words/normalize chain   ← `utils/item_operations.py:29-49` (X-1..X-3)
+  null/blank flag         ← `utils/column_operations.py:15-19` (F-4)
+  range predicates        ← `dimensions/consistency/c5.py:42-67` (F-6)
+  duplicate detection     ← `dimensions/uniqueness/u1.py:34-39` (G-8)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dataquality_spark import spec
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens; empty/null/whitespace-only text → empty array.
+
+    Note: Spark's ``trim`` strips only spaces (not ``\\n\\t``), so the
+    canonical definition filters empty tokens after the split instead —
+    byte-equivalent to Python's ``text.strip()`` + ``re.split(r'\\s+')``.
+    """
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), spec.WORD_SPLIT_RE),
+        lambda w: w != "",
+    )
+
+
+def word_count(words: Column) -> Column:
+    return F.size(words).cast("long")
+
+
+def mean_word_len(words: Column) -> Column:
+    """Mean character length of words; null when there are no words."""
+    total = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(words) > 0, total / F.size(words)).otherwise(F.lit(None))
+
+
+def alpha_ratio(words: Column) -> Column:
+    """Fraction of words containing at least one Unicode letter."""
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike(spec.ALPHA_WORD_RE)))
+    return F.when(F.size(words) > 0, n_alpha / F.size(words)).otherwise(F.lit(None))
+
+
+def symbol_count(text: Column) -> Column:
+    return F.coalesce(
+        F.regexp_count(text, F.lit(spec.SYMBOL_RE)), F.lit(0)
+    ).cast("long")
+
+
+def symbol_word_ratio(text: Column, words: Column) -> Column:
+    return F.when(
+        F.size(words) > 0, symbol_count(text) / F.size(words)
+    ).otherwise(F.lit(None))
+
+
+def stopword_count(words: Column, lang: Column) -> Column:
+    """Count of lowercase words in the language's stop list (fallback: en).
+
+    The per-language lists are a plan-time literal ``map<string,array<string>>``
+    — a broadcast-free lookup that stays inside codegen.
+    """
+    entries: list[Column] = []
+    for lg in spec.LANGS:
+        entries.append(F.lit(lg))
+        entries.append(F.array(*[F.lit(w) for w in spec.STOPWORDS[lg]]))
+    stop_map = F.create_map(*entries)
+    stops = F.coalesce(
+        stop_map[F.coalesce(lang, F.lit("en"))],
+        F.array(*[F.lit(w) for w in spec.STOPWORDS["en"]]),
+    )
+    return F.size(
+        F.filter(words, lambda w: F.array_contains(stops, F.lower(w)))
+    ).cast("long")
+
+
+def stopword_ratio(words: Column, lang: Column) -> Column:
+    return F.when(
+        F.size(words) > 0, stopword_count(words, lang) / F.size(words)
+    ).otherwise(F.lit(None))
+
+
+def lines_col(text: Column) -> Column:
+    """Split on newline, keeping empties — identical to Python str.split('\\n')."""
+    return F.split(F.coalesce(text, F.lit("")), spec.LINE_SPLIT, -1)
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """1 - distinct_lines/total_lines over non-blank lines; null if no lines."""
+    lines = F.filter(lines_col(text), lambda l: ~l.rlike(r"^\s*$"))
+    return F.when(
+        F.size(lines) > 0,
+        1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+    ).otherwise(F.lit(None))
+
+
+def is_blank(text: Column) -> Column:
+    """Null-or-blank flag (reference F-4 `utils/column_operations.py:15-19`).
+
+    "Blank" = only whitespace — regex, not ``trim`` (which strips only spaces).
+    """
+    return text.isNull() | text.rlike(r"^\s*$")
+
+
+def normalize_text(text: Column) -> Column:
+    """Normalization chain for dedup keys (reference X-1, exact order:
+    lower → strip digits runs of 1-4 → keep alnum+space → collapse whitespace
+    — `utils/item_operations.py:29-36`)."""
+    t = F.lower(F.trim(F.coalesce(text, F.lit(""))))
+    t = F.regexp_replace(t, r"\b\d{1,4}\b", "")  # X-2 remove_short_numbers
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t
+
+
+def extract_numbers(text: Column) -> Column:
+    """All digit runs as array<string> (reference X-3 `utils/item_operations.py:48-49`)."""
+    return F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(r"(\d+)"), 1)
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """1 - lev(a,b)/max(len) — native re-expression of Levenshtein.ratio
+    (reference X-6 `utils/column_operations.py:81-87`)."""
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(denom > 0, 1.0 - F.levenshtein(a, b) / denom).otherwise(F.lit(1.0))
+
+
+def content_hash(text: Column) -> Column:
+    """64-bit content hash of normalized text, for exact dedup (G-8)."""
+    return F.xxhash64(normalize_text(text))

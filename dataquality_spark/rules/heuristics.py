@@ -1,0 +1,124 @@
+"""Gopher/C4-style heuristic quality rules as native DataFrame expressions.
+
+This is the Spark analogue of one reference test run — select → flag → score →
+evidence subset (`dimensions/accuracy/a1.py:34-72` shape) — except all rules
+are computed in ONE projection over ONE scan (the reference re-reads the input
+per test, `a1.py:36-40`; Catalyst gives us column pruning + codegen for free,
+SURVEY.md §4.1-4.2).
+
+Flag-column convention mirrors the reference's `{col}_invalid` /
+`{col}_inconsistent` evidence columns (`dimensions/consistency/c4.py:46`,
+`c5.py:62-66`): one boolean ``r_{rule}`` per rule, True = PASS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataquality_spark import spec
+from dataquality_spark.functions import text as TX
+
+# stat columns added by with_text_stats
+STAT_COLS = [
+    "word_cnt",
+    "mean_wlen",
+    "alpha_frac",
+    "symbol_frac",
+    "stop_cnt",
+    "stop_frac",
+    "dupline_frac",
+]
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """Append the canonical text statistics (spec.py) in one projection."""
+    words = TX.words_col(F.col(text_col))
+    df = df.withColumn("_words", words)
+    w = F.col("_words")
+    return (
+        df.withColumn("word_cnt", TX.word_count(w))
+        .withColumn("mean_wlen", TX.mean_word_len(w))
+        .withColumn("alpha_frac", TX.alpha_ratio(w))
+        .withColumn("symbol_frac", TX.symbol_word_ratio(F.col(text_col), w))
+        .withColumn("stop_cnt", TX.stopword_count(w, F.col(lang_col)))
+        .withColumn(
+            "stop_frac",
+            F.when(F.size(w) > 0, F.col("stop_cnt") / F.size(w)).otherwise(
+                F.lit(None)
+            ),
+        )
+        .withColumn("dupline_frac", TX.dup_line_fraction(F.col(text_col)))
+        .drop("_words")
+    )
+
+
+def rule_flags(text_col: str = "text") -> dict[str, Column]:
+    """Boolean PASS flag per heuristic rule, over the stat columns."""
+    c = F.col
+    return {
+        "nonempty": ~TX.is_blank(c(text_col)),
+        "min_words": c("word_cnt") >= spec.MIN_WORDS,
+        "max_words": c("word_cnt") <= spec.MAX_WORDS,
+        "mean_word_len": c("mean_wlen").isNotNull()
+        & c("mean_wlen").between(spec.MIN_MEAN_WORD_LEN, spec.MAX_MEAN_WORD_LEN),
+        "alpha_ratio": c("alpha_frac").isNotNull()
+        & (c("alpha_frac") >= spec.MIN_ALPHA_RATIO),
+        "symbol_ratio": c("symbol_frac").isNotNull()
+        & (c("symbol_frac") <= spec.MAX_SYMBOL_RATIO),
+        "stopword_ratio": c("stop_frac").isNotNull()
+        & (c("stop_frac") >= spec.MIN_STOPWORD_RATIO)
+        & (c("stop_cnt") >= spec.MIN_STOPWORD_COUNT),
+        "dup_lines": c("dupline_frac").isNotNull()
+        & (c("dupline_frac") <= spec.MAX_DUP_LINE_FRACTION),
+    }
+
+
+def with_rule_flags(df: DataFrame, text_col: str = "text",
+                    lang_col: str = "lang") -> DataFrame:
+    """stats + one ``r_{rule}: boolean`` column per heuristic rule +
+    ``heuristic_pass`` conjunction. Single projection, no shuffle."""
+    df = with_text_stats(df, text_col, lang_col)
+    flags = rule_flags(text_col)
+    for rule_id, flag in flags.items():
+        df = df.withColumn(f"r_{rule_id}", flag)
+    conj = F.lit(True)
+    for r in spec.HEURISTIC_RULES:
+        conj = conj & F.col(f"r_{r}")
+    return df.withColumn("heuristic_pass", conj)
+
+
+def rule_metrics(df: DataFrame, rules: list[str] | None = None) -> DataFrame:
+    """Per-rule pass/fail counts + score in ONE aggregation pass.
+
+    Spark analogue of the reference's per-test score dicts
+    (`dimensions/accuracy/dimension_reference.py:80,100-101`): score =
+    1 - failure_rate (G-1 `a4.py:50`). Partial aggregation (map-side combine)
+    makes this a single cheap job even at 10^12 rows.
+    """
+    rules = rules or [r for r in spec.ALL_RULES if f"r_{r}" in df.columns]
+    aggs = []
+    for r in rules:
+        flag = F.col(f"r_{r}").cast("boolean")
+        aggs.append(F.count(F.when(flag, 1)).alias(f"{r}__pass"))
+        aggs.append(F.count(F.when(~flag, 1)).alias(f"{r}__fail"))
+    wide = df.agg(*aggs)
+    # unpivot wide one-row frame → (rule_id, pass_count, fail_count, score)
+    pairs = ", ".join(
+        f"'{r}', named_struct('p', `{r}__pass`, 'f', `{r}__fail`)" for r in rules
+    )
+    return (
+        wide.selectExpr(f"stack({len(rules)}, {pairs}) as (rule_id, pf)")
+        .select(
+            "rule_id",
+            F.col("pf.p").alias("pass_count"),
+            F.col("pf.f").alias("fail_count"),
+            F.when(
+                (F.col("pf.p") + F.col("pf.f")) > 0,
+                F.round(F.col("pf.p") / (F.col("pf.p") + F.col("pf.f")), 6),
+            )
+            .otherwise(F.lit(None))
+            .alias("score"),
+        )
+    )
