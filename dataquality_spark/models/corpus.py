@@ -10,6 +10,8 @@ scoring well-posed on the synthetic corpus (FIXTURES.md §2 `lang_ref`).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from dataquality_spark import spec
@@ -58,6 +60,7 @@ def _lang_seed(lang: str) -> int:
     return h
 
 
+@lru_cache(maxsize=None)
 def content_vocab(lang: str) -> list[str]:
     """VOCAB_SIZE deterministic pseudo-words with the language's syllables."""
     syl = _SYLLABLES[lang]
@@ -78,6 +81,7 @@ def content_vocab(lang: str) -> list[str]:
     return out
 
 
+@lru_cache(maxsize=None)
 def full_vocab(lang: str) -> list[str]:
     """stop words + content words — the sampling pool for document text."""
     return list(spec.STOPWORDS[lang]) + content_vocab(lang)

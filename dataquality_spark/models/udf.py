@@ -1,0 +1,86 @@
+"""The single model-scoring pandas UDF: langid + perplexity in one pass.
+
+One struct-returning Arrow-batched UDF per the plan in SURVEY.md §4.4
+("keep UDF count per stage minimal: one struct-returning UDF for
+langid+perplexity"). Model artifacts are broadcast once via
+``SparkContext.broadcast``; each task unpacks numpy tables from the broadcast,
+never re-pickling driver globals per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataquality_spark import spec
+from dataquality_spark.models import langid as L
+from dataquality_spark.models import ngram_lm as LM
+
+SCORE_SCHEMA = T.StructType([
+    T.StructField("pred_lang", T.StringType()),
+    T.StructField("lang_conf", T.DoubleType()),
+    T.StructField("logprob", T.DoubleType()),
+    T.StructField("lp_ok", T.BooleanType()),
+])
+
+
+def score_batch(texts: pd.Series, langid_art: dict, lm_art: dict) -> pd.DataFrame:
+    """Pure-pandas scoring — shared verbatim by the UDF and the oracle, so the
+    per-row invariant is exact (the parity check then exercises the Spark
+    plumbing: Arrow round-trip, nulls, broadcast, batching)."""
+    pred_ix, conf = L.predict_batch(texts, langid_art)
+    lp = LM.logprob_batch(texts, pred_ix, lm_art)
+    langs = np.array(langid_art["langs"] + [None], dtype=object)
+    pred_lang = langs[pred_ix]  # -1 → None
+    lo, hi = lm_art["lo"], lm_art["hi"]
+    ok = np.zeros(len(texts), dtype=object)
+    valid = (pred_ix >= 0) & ~np.isnan(lp)
+    ok[:] = False
+    ok[valid] = (lp[valid] >= lo[pred_ix[valid]]) & (lp[valid] <= hi[pred_ix[valid]])
+    return pd.DataFrame({
+        "pred_lang": pred_lang,
+        "lang_conf": conf,
+        "logprob": lp,
+        "lp_ok": ok.astype(bool),
+    })
+
+
+def make_score_udf(spark: SparkSession, langid_art: dict, lm_art: dict):
+    """Struct-returning pandas UDF with broadcast artifacts."""
+    sc = spark.sparkContext
+    b_langid = sc.broadcast(langid_art)
+    b_lm = sc.broadcast(lm_art)
+
+    @F.pandas_udf(SCORE_SCHEMA)
+    def score(text: pd.Series) -> pd.DataFrame:
+        return score_batch(text, b_langid.value, b_lm.value)
+
+    # nondeterministic ⇒ Catalyst must not duplicate the call when the four
+    # struct fields are extracted (measured: 4× re-evaluation otherwise); the
+    # UDF is pure, this only constrains plan rewrites
+    return score.asNondeterministic()
+
+
+def with_model_scores(spark: SparkSession, df: DataFrame,
+                      langid_art: dict, lm_art: dict,
+                      text_col: str = "text", lang_col: str = "lang"
+                      ) -> DataFrame:
+    """Append pred_lang/lang_conf/logprob + the two model rule flags
+    (r_lang_match, r_perplexity). No shuffle — one Python runner stage."""
+    udf = make_score_udf(spark, langid_art, lm_art)
+    df = df.withColumn("_m", udf(F.col(text_col)))
+    return (
+        df.select("*", "_m.pred_lang", "_m.lang_conf", "_m.logprob", "_m.lp_ok")
+        .drop("_m")
+        .withColumn(
+            "r_lang_match",
+            F.col("pred_lang").isNotNull()
+            & (F.col("pred_lang") == F.col(lang_col))
+            & (F.col("lang_conf") >= spec.MIN_LANGID_CONF),
+        )
+        .withColumn("r_perplexity", F.col("lp_ok"))
+        .drop("lp_ok")
+    )

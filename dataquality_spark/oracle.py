@@ -95,6 +95,60 @@ def heuristic_labels(pdf: pd.DataFrame, text_col: str = "text",
     return out
 
 
+def normalize_text_py(text) -> str:
+    """Pandas mirror of functions/text.py::normalize_text (reference X-1
+    order: lower → short-digit strip → alnum+space filter → ws collapse)."""
+    if text is None or (isinstance(text, float) and np.isnan(text)):
+        return ""
+    t = str(text).strip().lower()
+    t = re.sub(r"\b\d{1,4}\b", "", t)
+    t = re.sub(r"[^a-z0-9\s]", "", t)
+    t = re.sub(r"\s+", " ", t).strip()
+    return t
+
+
+def full_labels(pdf: pd.DataFrame, langid_art: dict, lm_art: dict) -> pd.DataFrame:
+    """Complete oracle labels: heuristics + model rules + exact-dedup winner
+    → ``keep``; plus ``scrubbed_text``. Ground truth for the F1 ≥ 0.99 gate.
+
+    Model scoring reuses models/udf.py::score_batch on purpose — the model IS
+    the spec there; what the F1 gate then checks is the Spark-side plumbing
+    (broadcast, Arrow round-trip, flag logic, the salted dedup shuffle).
+    Heuristics and dedup policy are implemented independently here.
+    """
+    from dataquality_spark import spec as _spec
+    from dataquality_spark.models.udf import score_batch
+
+    out = heuristic_labels(pdf)
+    m = score_batch(pdf["text"], langid_art, lm_art)
+    out["pred_lang"] = m["pred_lang"].to_numpy()
+    out["lang_conf"] = m["lang_conf"].to_numpy()
+    out["logprob"] = m["logprob"].to_numpy()
+    out["r_lang_match"] = (
+        out["pred_lang"].notna()
+        & (out["pred_lang"] == out["lang"])
+        & (out["lang_conf"] >= _spec.MIN_LANGID_CONF)
+    )
+    out["r_perplexity"] = m["lp_ok"].to_numpy()
+    out["pre_dedup_pass"] = (
+        out["heuristic_pass"] & out["r_lang_match"] & out["r_perplexity"]
+    )
+    # exact dedup among survivors: winner = min (warc_ts, url) per normalized text
+    out["_norm"] = [normalize_text_py(t) for t in out["text"]]
+    cand = out[out["pre_dedup_pass"]]
+    winner_idx = (
+        cand.sort_values(["_norm", "warc_ts", "url"])
+        .groupby("_norm", sort=False)
+        .head(1)
+        .index
+    )
+    out["r_dedup"] = False
+    out.loc[winner_idx, "r_dedup"] = True
+    out["keep"] = out["pre_dedup_pass"] & out["r_dedup"]
+    out["scrubbed_text"] = [scrub_text(t) for t in out["text"]]
+    return out.drop(columns=["_norm"])
+
+
 def scrub_text(text):
     """Oracle scrubber — same ordered patterns, Python `re` (spec.py).
 

@@ -1,0 +1,123 @@
+"""The full quality-pipeline DAG (SURVEY.md §3.4).
+
+    pages ──► Stage A/C: text stats + heuristic rule flags   [native exprs, no shuffle]
+          ──► Stage B:   langid + perplexity                 [one Arrow UDF, no shuffle]
+          ──► Stage D:   scrub                               [one Arrow UDF, no shuffle]
+          ──► Stage E:   exact dedup among surviving docs    [1 salted shuffle + join-back]
+          ──► decisions(url, keep, rules, scores, scrubbed_text)
+          ──► rule_metrics (one agg pass)                    [tiny]
+
+Single engineered shuffle (Stage E). Everything upstream fuses into one
+whole-stage-codegen span + two Python runners. Column pruning means `html`
+is never deserialized unless the caller selects it (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataquality_spark import spec
+from dataquality_spark.models import langid, ngram_lm
+from dataquality_spark.models.udf import with_model_scores
+from dataquality_spark.operators.dedup import with_dedup_flag
+from dataquality_spark.rules.heuristics import rule_metrics, with_rule_flags
+from dataquality_spark.scrub import with_scrubbed_text
+
+PIPELINE_RULES = spec.ALL_RULES + ["dedup"]
+
+_ARTIFACTS: dict | None = None
+
+
+def get_artifacts() -> dict:
+    """Train-once-per-process model artifacts (deterministic, seed corpus)."""
+    global _ARTIFACTS
+    if _ARTIFACTS is None:
+        _ARTIFACTS = {
+            "langid": langid.train_langid(),
+            "lm": ngram_lm.train_lm(),
+        }
+    return _ARTIFACTS
+
+
+def run_pipeline(spark: SparkSession, pages: DataFrame,
+                 with_dedup: bool = True, salt_buckets: int = 64,
+                 persist: bool = True) -> DataFrame:
+    """pages → annotated frame with all rule flags, keep, scrubbed_text.
+
+    ``keep`` = every heuristic + model rule passes AND the row is its exact-dup
+    group's winner. Scrubbing applies to all rows (byte-identity is a per-url
+    invariant, BASELINE.json input_hint).
+
+    Plan shape: the scored frame feeds BOTH the winners aggregation and the
+    join probe, so it is persisted (MEMORY_AND_DISK) — otherwise the scan +
+    Arrow UDF stage would run twice. ``content_hash`` is null for rows that
+    fail the upstream gate, so blank/degenerate texts never form dedup groups
+    and never skew the shuffle.
+    """
+    from dataquality_spark.functions import text as TX
+    from dataquality_spark.operators.dedup import exact_dedup_winners
+
+    art = get_artifacts()
+    # html is never consumed downstream (rules/models/scrub all read `text`);
+    # dropping it here keeps it out of the persisted frame and the shuffle.
+    # Column pruning would skip it at scan time anyway (SURVEY.md §4.2).
+    df = pages.drop("html")
+    df = with_rule_flags(df)
+    df = with_model_scores(spark, df, art["langid"], art["lm"])
+    gate = F.col("heuristic_pass") & F.col("r_lang_match") & F.col("r_perplexity")
+    df = df.withColumn("pre_dedup_pass", gate)
+    df = with_scrubbed_text(df)
+    if not with_dedup:
+        return (df.withColumn("content_hash", F.lit(None).cast("long"))
+                  .withColumn("r_dedup", F.col("pre_dedup_pass"))
+                  .withColumn("keep", F.col("pre_dedup_pass")))
+    df = df.withColumn(
+        "content_hash",
+        F.when(F.col("pre_dedup_pass"), TX.content_hash(F.col("text"))),
+    )
+    if persist:
+        from pyspark import StorageLevel
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    winners = exact_dedup_winners(
+        df.where("pre_dedup_pass"), text_col="text", salt_buckets=salt_buckets,
+        precomputed_hash="content_hash",
+    )
+    joined = df.join(winners, "content_hash", "left")
+    return (
+        joined.withColumn(
+            "r_dedup",
+            F.col("pre_dedup_pass")
+            & (F.col("win.warc_ts") == F.col("warc_ts"))
+            & (F.col("win.url") == F.col("url")),
+        )
+        .drop("win")
+        .withColumn("keep", F.col("pre_dedup_pass") & F.col("r_dedup"))
+    )
+
+
+def decisions_table(annotated: DataFrame) -> DataFrame:
+    """Project the SURVEY.md §1.4 decisions schema:
+    decisions(url, keep, rules map<string,boolean>, scores map<string,double>,
+    scrubbed_text)."""
+    rule_entries = []
+    for r in PIPELINE_RULES:
+        rule_entries += [F.lit(r), F.col(f"r_{r}")]
+    score_entries = [
+        F.lit("lang_conf"), F.col("lang_conf"),
+        F.lit("logprob"), F.col("logprob"),
+        F.lit("stop_frac"), F.col("stop_frac").cast("double"),
+        F.lit("dupline_frac"), F.col("dupline_frac").cast("double"),
+    ]
+    return annotated.select(
+        "url",
+        F.col("keep"),
+        F.create_map(*rule_entries).alias("rules"),
+        F.create_map(*score_entries).alias("scores"),
+        "scrubbed_text",
+    )
+
+
+def pipeline_metrics(annotated: DataFrame) -> DataFrame:
+    """rule_metrics(rule_id, pass_count, fail_count, score) over all rules."""
+    return rule_metrics(annotated, PIPELINE_RULES)

@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-bench sizing: inputs here are ~100MB-1GB, so the default 128MB
+        # split would starve 32 cores; on a real cluster with TB-scale inputs
+        # the default is right — this is a sandbox knob, not a design choice
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
