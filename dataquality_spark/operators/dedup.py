@@ -34,7 +34,8 @@ from dataquality_spark.functions import text as TX
 MINHASH_PERMS = 64
 LSH_BANDS = 16
 LSH_ROWS = 4
-_MERSENNE = (1 << 61) - 1
+# Mersenne-31: a,b,x < 2^31 keeps a*x+b < 2^62 — no ANSI long overflow
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(k: int = MINHASH_PERMS) -> list[tuple[int, int]]:
@@ -42,7 +43,7 @@ def _perm_params(k: int = MINHASH_PERMS) -> list[tuple[int, int]]:
     from dataquality_spark.models.corpus import mix64
     out = []
     for i in range(k):
-        a = (int(mix64(2 * i + 1)) % (_MERSENNE - 1)) | 1
+        a = (int(mix64(2 * i + 1)) % (_MERSENNE - 1)) + 1
         b = int(mix64(2 * i + 2)) % _MERSENNE
         out.append((a, b))
     return out
@@ -64,12 +65,12 @@ def minhash_signature(shingle_col: Column) -> Column:
     xxhash64 gives the base shingle hash; each permutation is an affine map
     mod a Mersenne prime, computed inside `transform` lambdas (codegen'd).
     """
-    base = F.transform(shingle_col, lambda s: F.abs(F.xxhash64(s)))
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s),
+                                                     F.lit(_MERSENNE)))
     sigs = []
     for a, b in _perm_params():
         sigs.append(F.array_min(F.transform(
-            base, lambda h: (h % F.lit(_MERSENNE) * F.lit(a % (1 << 31))
-                             + F.lit(b)) % F.lit(_MERSENNE))))
+            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))))
     return F.array(*sigs)
 
 

@@ -1,0 +1,16 @@
+import pytest
+
+from dataquality_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="dq_tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def artifacts():
+    from dataquality_spark import pipeline
+    return pipeline.get_artifacts()

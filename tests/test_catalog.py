@@ -1,0 +1,28 @@
+"""ManifestCatalog: snapshot semantics (Iceberg-emulation, SURVEY.md §7.3 #5)."""
+
+import pandas as pd
+
+from dataquality_spark.catalog import ManifestCatalog
+
+
+def test_snapshot_overwrite_and_time_travel(spark, tmp_path):
+    cat = ManifestCatalog(str(tmp_path))
+    df1 = spark.createDataFrame(pd.DataFrame({"x": [1, 2, 3]}))
+    df2 = spark.createDataFrame(pd.DataFrame({"x": [10, 20]}))
+    s1 = cat.write(df1, "t", summary={"rows": 3})
+    s2 = cat.write(df2, "t", mode="overwrite")
+    assert cat.read(spark, "t").count() == 2
+    assert cat.read(spark, "t", snapshot_id=s1).count() == 3  # time travel
+    snaps = cat.snapshots("t")
+    assert [s["id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent"] == s1
+    assert cat.has_metadata("t") and not cat.has_metadata("nope")
+
+
+def test_snapshot_append(spark, tmp_path):
+    cat = ManifestCatalog(str(tmp_path))
+    df1 = spark.createDataFrame(pd.DataFrame({"x": [1, 2]}))
+    df2 = spark.createDataFrame(pd.DataFrame({"x": [3]}))
+    cat.write(df1, "t")
+    cat.write(df2, "t", mode="append")
+    assert sorted(r["x"] for r in cat.read(spark, "t").collect()) == [1, 2, 3]

@@ -1,0 +1,72 @@
+"""Kill/resume test (SURVEY.md §5.2): partial run + resume must produce a
+decisions table identical to a one-shot run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_spark import pipeline
+from dataquality_spark.checkpoint import (
+    completed_chunks, lineage, read_decisions, run_checkpointed,
+)
+from dataquality_spark.synth import generate_pages
+
+N = 800
+CHUNKS = 4
+
+
+def _decisions_pdf(spark, out_dir):
+    return (read_decisions(spark, out_dir)
+            .select("url", "keep", "scrubbed_text")
+            .toPandas().sort_values("url").reset_index(drop=True))
+
+
+def test_resume_identical_to_oneshot(spark, artifacts, tmp_path):
+    pages = generate_pages(spark, N, seed=42, partitions=4)
+
+    # one-shot reference run
+    full_dir = str(tmp_path / "full")
+    r = run_checkpointed(spark, pages, full_dir, n_chunks=CHUNKS)
+    assert r["completed"] == list(range(CHUNKS))
+
+    # "crashed" run: 2 of 4 chunks, then resume
+    part_dir = str(tmp_path / "partial")
+    r1 = run_checkpointed(spark, pages, part_dir, n_chunks=CHUNKS, max_chunks=2)
+    assert len(r1["processed"]) == 2
+    assert completed_chunks(part_dir) == set(r1["processed"])
+    r2 = run_checkpointed(spark, pages, part_dir, n_chunks=CHUNKS)
+    assert set(r2["processed"]).isdisjoint(r1["processed"])
+    assert r2["completed"] == list(range(CHUNKS))
+
+    a = _decisions_pdf(spark, full_dir)
+    b = _decisions_pdf(spark, part_dir)
+    assert len(a) == N and len(b) == N
+    assert (a["url"] == b["url"]).all()
+    assert (a["keep"] == b["keep"]).all()
+    assert (a["scrubbed_text"].fillna("\0") == b["scrubbed_text"].fillna("\0")).all()
+
+
+def test_lineage_rows(spark, tmp_path):
+    pages = generate_pages(spark, 200, seed=7, partitions=4)
+    out = str(tmp_path / "lin")
+    run_checkpointed(spark, pages, out, n_chunks=2)
+    rows = lineage(out)
+    assert [r["chunk"] for r in rows] == [0, 1]
+    assert sum(r["rows_in"] for r in rows) == 200
+    for r in rows:
+        assert r["rows_kept"] <= r["rows_in"]
+        metric_rules = {m["rule_id"] for m in r["rule_metrics"]}
+        assert metric_rules == set(pipeline.PIPELINE_RULES)
+
+
+def test_chunking_matches_global_dedup(spark, artifacts, tmp_path):
+    """Content-hash chunking ⇒ per-chunk dedup == global dedup."""
+    pages = generate_pages(spark, 600, seed=42, partitions=4)
+    out = str(tmp_path / "glob")
+    run_checkpointed(spark, pages, out, n_chunks=3)
+    chunked = _decisions_pdf(spark, out)
+
+    ann = pipeline.run_pipeline(spark, pages)
+    direct = (ann.select("url", "keep").toPandas()
+              .sort_values("url").reset_index(drop=True))
+    ann.unpersist()
+    assert (chunked["keep"].to_numpy() == direct["keep"].to_numpy()).all()

@@ -1,0 +1,101 @@
+"""Dedup fixtures (fx_exactdup, fx_neardup): winner policy, salt invariance,
+LSH recall/precision at the 0.91 reference threshold."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_spark import spec
+from dataquality_spark.operators.dedup import (
+    near_dup_pairs, simhash64, with_dedup_flag,
+)
+
+BODY = ("the quick brown fox jumps over the lazy dog near the river "
+        "while the old clock tower rings twelve times in the square ") * 4
+
+
+def _pages(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    pdf["lang"] = "en"
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup_keeps_first_by_ts(spark):
+    rows = [
+        ("u_b", "2024-01-02", BODY),
+        ("u_a", "2024-01-01", BODY),          # earliest → winner
+        ("u_c", "2024-01-03", BODY),
+        ("u_d", "2024-01-01", "completely different text " * 20),
+    ]
+    out = with_dedup_flag(_pages(spark, rows)).toPandas().set_index("url")
+    assert out.loc["u_a", "r_dedup"]
+    assert not out.loc["u_b", "r_dedup"]
+    assert not out.loc["u_c", "r_dedup"]
+    assert out.loc["u_d", "r_dedup"]
+
+
+def test_exact_dedup_ts_tie_breaks_by_url(spark):
+    rows = [
+        ("u_z", "2024-01-01", BODY),
+        ("u_a", "2024-01-01", BODY),
+    ]
+    out = with_dedup_flag(_pages(spark, rows)).toPandas().set_index("url")
+    assert out.loc["u_a", "r_dedup"] and not out.loc["u_z", "r_dedup"]
+
+
+def test_exact_dedup_normalization_insensitive(spark):
+    """Case/punct/short-digit noise dedups to the same group (ref X-1/X-2
+    normalize chain, `utils/item_operations.py:29-42`)."""
+    rows = [
+        ("u_a", "2024-01-01", BODY),
+        ("u_b", "2024-01-02", BODY.upper()),
+        ("u_c", "2024-01-03", BODY + " 1234"),
+    ]
+    out = with_dedup_flag(_pages(spark, rows)).toPandas().set_index("url")
+    assert out.loc["u_a", "r_dedup"]
+    assert not out.loc["u_b", "r_dedup"] and not out.loc["u_c", "r_dedup"]
+
+
+@pytest.mark.parametrize("salt", [1, 2, 64, 257])
+def test_salt_invariance(spark, salt):
+    """Winner set must be invariant w.r.t. salt bucket count (BASELINE.md)."""
+    rows = [(f"u{i:03d}", f"2024-01-{(i % 27) + 1:02d}",
+             BODY if i % 3 == 0 else f"distinct text {i} " * 30)
+            for i in range(60)]
+    out = (with_dedup_flag(_pages(spark, rows), salt_buckets=salt)
+           .toPandas().set_index("url")["r_dedup"])
+    base = (with_dedup_flag(_pages(spark, rows), salt_buckets=16)
+            .toPandas().set_index("url")["r_dedup"])
+    assert (out.sort_index() == base.sort_index()).all()
+
+
+def test_near_dup_pairs_finds_perturbed(spark):
+    words = BODY.split()
+    variant = " ".join(w.upper() if i == 7 else w for i, w in enumerate(words))
+    rows = [
+        ("u_a", "2024-01-01", BODY),
+        ("u_b", "2024-01-02", variant),                  # near-dup of u_a
+        ("u_c", "2024-01-03", "unrelated content " * 40),
+    ]
+    pairs = near_dup_pairs(_pages(spark, rows)).toPandas()
+    got = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert ("u_a", "u_b") in got
+    assert all("u_c" not in p for p in got)
+    assert (pairs["jaccard"] >= spec.NEAR_DUP_SIMILARITY).all()
+
+
+def test_simhash_close_for_near_dups(spark):
+    # SimHash bits stabilize with feature count — use ~300 distinct shingles
+    big = " ".join(f"word{i} token{i * 7 % 311}" for i in range(150))
+    words = big.split()
+    variant = " ".join(w + "x" if i == 5 else w for i, w in enumerate(words))
+    other = " ".join(f"zzz{i} qqq{i * 3}" for i in range(150))
+    df = _pages(spark, [("a", "2024-01-01", big), ("b", "2024-01-01", variant),
+                        ("c", "2024-01-01", other)])
+    out = df.select("url", simhash64(F.col("text")).alias("sh")) \
+            .toPandas().set_index("url")["sh"]
+    ham_ab = bin(int(out["a"]) ^ int(out["b"])).count("1")
+    ham_ac = bin(int(out["a"]) ^ int(out["c"])).count("1")
+    assert ham_ab <= 10, ham_ab
+    assert ham_ac >= 20, ham_ac

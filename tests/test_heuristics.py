@@ -1,0 +1,110 @@
+"""Per-rule unit fixtures (FIXTURES.md §3) — hand-written inputs with
+hand-computed expected flags, plus Spark↔oracle parity on each slice.
+
+The analogue of the reference's one-golden-CSV-per-test layout
+(`run_tests/example_reports/`)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_spark import oracle, spec
+from dataquality_spark.rules.heuristics import rule_metrics, with_rule_flags
+
+GOOD_EN = ("the quick brown fox jumps over the lazy dog and then it runs "
+           "to the old house by the river where a small bird was waiting "
+           "for the sun to rise above the hills in the morning light ") * 3
+
+
+def _run(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["url", "text", "lang"])
+    pdf["warc_ts"] = pd.Timestamp("2024-01-01")
+    sdf = spark.createDataFrame(pdf)
+    flags = with_rule_flags(sdf).toPandas().set_index("url")
+    lab = oracle.heuristic_labels(pdf).set_index("url")
+    return flags, lab
+
+
+def _assert_parity(flags, lab):
+    for r in spec.HEURISTIC_RULES:
+        assert (flags[f"r_{r}"].astype(bool) == lab[f"r_{r}"].astype(bool)).all(), r
+
+
+def test_fx_nulls(spark):
+    rows = [
+        ("u1", None, "en"),
+        ("u2", "", "en"),
+        ("u3", "   \n \t ", "en"),
+        ("u4", GOOD_EN, "en"),
+    ]
+    flags, lab = _run(spark, rows)
+    assert not flags.loc["u1", "r_nonempty"]
+    assert not flags.loc["u2", "r_nonempty"]
+    assert not flags.loc["u3", "r_nonempty"]
+    assert flags.loc["u4", "r_nonempty"]
+    _assert_parity(flags, lab)
+
+
+def test_fx_wordstats(spark):
+    rows = [
+        ("u1", "too few words here", "en"),
+        ("u2", GOOD_EN, "en"),
+        ("u3", " ".join(["a"] * 100), "en"),            # mean len 1 → fail
+        ("u4", " ".join(["verylongwordxxxxx"] * 100), "en"),  # mean len 17
+    ]
+    flags, lab = _run(spark, rows)
+    assert not flags.loc["u1", "r_min_words"]
+    assert flags.loc["u2", "r_min_words"] and flags.loc["u2", "r_mean_word_len"]
+    assert not flags.loc["u3", "r_mean_word_len"]
+    assert not flags.loc["u4", "r_mean_word_len"]
+    _assert_parity(flags, lab)
+
+
+def test_fx_symbols(spark):
+    noisy = " ".join(w + "###" if i % 2 == 0 else w
+                     for i, w in enumerate(GOOD_EN.split()))
+    flags, lab = _run(spark, [("u1", noisy, "en"), ("u2", GOOD_EN, "en")])
+    assert not flags.loc["u1", "r_symbol_ratio"]
+    assert flags.loc["u2", "r_symbol_ratio"]
+    _assert_parity(flags, lab)
+
+
+def test_fx_stopwords(spark):
+    salad = " ".join(["zorblex", "quixotic", "vrumple"] * 40)
+    flags, lab = _run(spark, [("u1", salad, "en"), ("u2", GOOD_EN, "en")])
+    assert not flags.loc["u1", "r_stopword_ratio"]
+    assert flags.loc["u2", "r_stopword_ratio"]
+    _assert_parity(flags, lab)
+
+
+def test_fx_stopwords_lang_specific(spark):
+    fr = ("le chat est sur la table et le chien est dans le jardin avec "
+          "une balle pour jouer au soleil pendant que les oiseaux chantent "
+          "dans les arbres du parc pres de la maison ") * 2
+    flags, lab = _run(spark, [("u1", fr, "fr"), ("u2", fr, "fi")])
+    # French stop words counted under lang=fr; under lang=fi they are not
+    assert flags.loc["u1", "r_stopword_ratio"]
+    assert not flags.loc["u2", "r_stopword_ratio"]
+    _assert_parity(flags, lab)
+
+
+def test_fx_duplines(spark):
+    dup = "\n".join(["same line of repeated boilerplate"] * 9
+                    + ["a unique closing line"])
+    flags, lab = _run(spark, [("u1", dup, "en"), ("u2", GOOD_EN, "en")])
+    assert not flags.loc["u1", "r_dup_lines"]
+    assert flags.loc["u2", "r_dup_lines"]
+    _assert_parity(flags, lab)
+
+
+def test_fx_metrics_counts_sum(spark):
+    """rule_metrics pass+fail must equal the row count (ref A3 sum check,
+    `dimensions/accuracy/a3.py:39-53` spirit)."""
+    rows = [(f"u{i}", GOOD_EN if i % 2 else "", "en") for i in range(60)]
+    pdf = pd.DataFrame(rows, columns=["url", "text", "lang"])
+    sdf = spark.createDataFrame(pdf)
+    m = rule_metrics(with_rule_flags(sdf)).toPandas()
+    assert set(m["rule_id"]) == set(spec.HEURISTIC_RULES)
+    assert ((m["pass_count"] + m["fail_count"]) == 60).all()
+    nonempty = m.set_index("rule_id").loc["nonempty"]
+    assert nonempty["score"] == pytest.approx(0.5)

@@ -1,0 +1,68 @@
+"""langid + perplexity fixtures (fx_langid, fx_perplexity — FIXTURES.md §3)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_spark import spec
+from dataquality_spark.models import corpus, langid, ngram_lm
+from dataquality_spark.models.udf import score_batch, with_model_scores
+
+
+def test_langid_accuracy_on_seed_corpus(artifacts):
+    """Predict held-out-ish docs (later indices of the seed corpus)."""
+    art = artifacts["langid"]
+    texts, labels = [], []
+    for lg in spec.LANGS:
+        for d in corpus.seed_corpus(lg, n_docs=220)[200:]:
+            texts.append(d)
+            labels.append(lg)
+    pred, conf = langid.predict_batch(pd.Series(texts), art)
+    langs = np.array(art["langs"])
+    acc = (langs[pred] == np.array(labels)).mean()
+    assert acc >= 0.95, acc
+
+
+def test_langid_null_and_empty(artifacts):
+    pred, conf = langid.predict_batch(pd.Series([None, "", "a"]), artifacts["langid"])
+    assert pred[0] == -1 and conf[0] == 0.0
+    assert pred[1] == -1
+
+
+def test_perplexity_separates_gibberish(artifacts):
+    lm = artifacts["lm"]
+    li = spec.LANGS.index("en")
+    good = corpus.seed_corpus("en", n_docs=5)
+    gibberish = ["qzx jvk wfp zzq xqv " * 30, "zzzzzzzz qqqqqq xxxxx " * 20]
+    lp_good = ngram_lm.logprob_batch(pd.Series(good), np.full(5, li), lm)
+    lp_bad = ngram_lm.logprob_batch(pd.Series(gibberish), np.full(2, li), lm)
+    assert lp_good.min() > lp_bad.max()
+    lo, hi = lm["lo"][li], lm["hi"][li]
+    assert all((lp >= lo) and (lp <= hi) for lp in lp_good)
+    assert all(lp < lo for lp in lp_bad)
+
+
+def test_model_udf_matches_local(spark, artifacts):
+    """Spark UDF output == driver-side score_batch (plumbing parity)."""
+    texts = (corpus.seed_corpus("en", 10) + corpus.seed_corpus("fr", 10)
+             + [None, "", "zzz qqq xxx " * 40])
+    pdf = pd.DataFrame({
+        "url": [f"u{i}" for i in range(len(texts))],
+        "text": texts,
+        "lang": ["en"] * len(texts),
+    })
+    sdf = spark.createDataFrame(pdf)
+    out = with_model_scores(spark, sdf, artifacts["langid"], artifacts["lm"])
+    got = out.select("url", "pred_lang", "lang_conf", "logprob",
+                     "r_perplexity").toPandas().set_index("url").sort_index()
+    ref = score_batch(pdf["text"], artifacts["langid"], artifacts["lm"])
+    ref.index = pdf["url"]
+    ref = ref.sort_index()
+    assert (got["pred_lang"].fillna("-") == ref["pred_lang"].fillna("-")).all()
+    assert np.allclose(got["lang_conf"], ref["lang_conf"], atol=1e-12)
+    lg, lr = got["logprob"].to_numpy(), ref["logprob"].to_numpy()
+    mask = ~np.isnan(lr)
+    assert np.allclose(lg[mask], lr[mask], atol=1e-9)
+    assert (np.isnan(lg) == np.isnan(lr)).all()
+    assert (got["r_perplexity"].astype(bool) == ref["lp_ok"].astype(bool)).all()

@@ -1,0 +1,72 @@
+"""Scrub fixtures (fx_scrub): byte-identity vs oracle, idempotence,
+null/unicode safety (SURVEY.md §5.2 property tests)."""
+
+import pandas as pd
+import pytest
+
+from dataquality_spark import oracle
+from dataquality_spark.scrub import scrub_series, with_scrubbed_text
+
+CASES = [
+    "contact john.doe+spam@sub.example.co.uk today",
+    "call +1-555-123-4567 or (555) 123-4567 now",
+    "ssn 123-45-6789 leaked",
+    "server 10.0.255.1 and 192.168.1.1 up",
+    "iban DE89370400440532013000 on file",
+    "that frakking gorram smegging thing",
+    "no pii here at all just words",
+    "",
+    "mixed: a@b.co then 1.2.3.4 then 999-88-7777 end",
+    "unicode — émail tëst@exämple.com ünïcödé",  # non-ascii local/domain
+    "edge frakkingly should NOT mask (substring)",
+]
+
+
+def test_scrub_matches_oracle_bytes():
+    got = scrub_series(pd.Series(CASES))
+    want = [oracle.scrub_text(t) for t in CASES]
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+
+
+def test_scrub_replaces_pii():
+    out = list(scrub_series(pd.Series(CASES)))
+    assert "<EMAIL>" in out[0]
+    assert out[1].count("<PHONE>") == 2
+    assert "<ID>" in out[2]
+    assert out[3].count("<IP>") == 2
+    assert "<IBAN>" in out[4]
+    assert out[5].count("<TOX>") == 3
+    assert out[6] == CASES[6]
+    assert "frakkingly" in out[10]  # whole-word only
+
+
+def test_scrub_idempotent():
+    once = scrub_series(pd.Series(CASES))
+    twice = scrub_series(once)
+    assert list(once) == list(twice)
+
+
+def test_scrub_null_passthrough():
+    out = scrub_series(pd.Series([None, "x@y.zz", None]))
+    assert out[0] is None and out[2] is None
+    assert out[1] == "<EMAIL>"
+
+
+def test_scrub_udf_matches_series(spark):
+    pdf = pd.DataFrame({"url": [f"u{i}" for i in range(len(CASES))],
+                        "text": CASES})
+    got = (with_scrubbed_text(spark.createDataFrame(pdf))
+           .toPandas().set_index("url").sort_index()["scrubbed_text"])
+    want = scrub_series(pdf.set_index("url").sort_index()["text"])
+    assert list(got) == list(want)
+
+
+def test_scrub_idempotent_property(artifacts):
+    """Property: idempotence over the synthetic corpus (incl. PII injections)."""
+    import numpy as np
+    from dataquality_spark.synth import gen_pages_pdf
+    pdf = gen_pages_pdf(np.arange(300), 42, 300)
+    once = scrub_series(pdf["text"])
+    twice = scrub_series(once)
+    assert list(once.fillna("-")) == list(twice.fillna("-"))
