@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``dataquality_spark.queries`` (one aligned
+Spark-impl + DuckDB-SQL pair per SQL-expressible operator from SURVEY.md §2,
+plus rows-only entries for model UDFs / LSH / binary plumbing).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full quality-pipeline DAG (heuristic rules → langid +
+    perplexity UDF → scrub → skew-salted exact dedup) on the deterministic
+    synthetic pages corpus, summarized as per-rule metrics, plus the
+    heuristic gate over the sf0.001 documents table unioned in as
+    rule-level scores (stable schema: rule_id, pass_count, fail_count,
+    score)."""
+    from dataquality_spark import pipeline
+    from dataquality_spark.synth import generate_pages
+
+    pages = generate_pages(spark, 2000, seed=42)
+    ann = pipeline.run_pipeline(spark, pages)
+    return pipeline.pipeline_metrics(ann)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from dataquality_spark.queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dataquality_spark.queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

@@ -22,6 +22,8 @@ computed with higher-order functions (`transform`/`array_min`) over
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -59,29 +61,42 @@ def shingles(text: Column, n: int = 3) -> Column:
                   ).otherwise(F.array(TX.normalize_text(text)))
 
 
-def minhash_signature(shingle_col: Column) -> Column:
-    """array<bigint> of MINHASH_PERMS min-hashes — all JVM-side.
+def minhash_band_keys_udf():
+    """pandas UDF: array<string> shingles → array<bigint> LSH band keys.
 
-    xxhash64 gives the base shingle hash; each permutation is an affine map
-    mod a Mersenne prime, computed inside `transform` lambdas (codegen'd).
+    Why a UDF and not higher-order functions: Spark HOFs evaluate
+    interpreted (no codegen), and Catalyst's projection collapse re-inlines
+    the shingle subtree into every one of the 64 permutation expressions —
+    measured 72s for 500 docs. Here the permutations are one vectorized
+    numpy outer product per row (A·h+B mod p, min over shingles), Arrow-
+    batched — the standard Spark minhash shape at web scale.
     """
-    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s),
-                                                     F.lit(_MERSENNE)))
-    sigs = []
-    for a, b in _perm_params():
-        sigs.append(F.array_min(F.transform(
-            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE))))
-    return F.array(*sigs)
+    from zlib import crc32
 
+    params = _perm_params()
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    K = np.int64(1_000_003)
+    P = np.int64(_MERSENNE)
 
-def lsh_band_keys(sig_col: Column) -> Column:
-    """array<bigint>: one bucket key per band = xxhash64 of the band slice."""
-    keys = []
-    for band in range(LSH_BANDS):
-        sl = F.slice(sig_col, band * LSH_ROWS + 1, LSH_ROWS)
-        keys.append(F.xxhash64(F.lit(band), F.concat_ws(",", F.transform(
-            sl, lambda x: x.cast("string")))))
-    return F.array(*keys)
+    @F.pandas_udf("array<long>")
+    def bands(shingles_s: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles_s:
+            if sh is None or len(sh) == 0:
+                out.append(None)
+                continue
+            h = np.array([crc32(s.encode("utf-8")) for s in sh],
+                         dtype=np.int64)[None, :] % P
+            sig = ((A * h + B) % P).min(axis=1)  # [MINHASH_PERMS]
+            bsig = sig.reshape(LSH_BANDS, LSH_ROWS)
+            keys = np.arange(1, LSH_BANDS + 1, dtype=np.int64)
+            for r in range(LSH_ROWS):
+                keys = (keys * K + bsig[:, r]) % P
+            out.append(keys.tolist())
+        return pd.Series(out, dtype=object)
+
+    return bands
 
 
 def exact_dedup_winners(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "url"),
@@ -137,24 +152,30 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
     → exact verify. The join is equi-join on bucket keys (shuffle hash / AQE);
     no cross join ever materializes (SURVEY.md J-2 requirement).
     """
+    from pyspark import StorageLevel
+
     base = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).where(F.size("_sh") > 0)
-    with_keys = base.withColumn("_sig", minhash_signature(F.col("_sh"))) \
-                    .withColumn("_bk", lsh_band_keys(F.col("_sig")))
-    buckets = with_keys.select(
-        "_id", "_sh", F.explode("_bk").alias("_bucket")
-    )
-    a = buckets.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
-                       "_bucket")
-    b = buckets.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
-                       "_bucket")
-    pairs = (
+    ).where(F.size("_sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    bands_udf = minhash_band_keys_udf()
+    # candidate generation joins on (bucket, id) ONLY — the shingle arrays
+    # never enter the bucket-join shuffle; they re-attach for the verify step
+    buckets = base.select(
+        "_id", F.explode(bands_udf(F.col("_sh"))).alias("_bucket"))
+    a = buckets.select(F.col("_id").alias("id_a"), "_bucket")
+    b = buckets.select(F.col("_id").alias("id_b"), "_bucket")
+    cand = (
         a.join(b, "_bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cand.join(base.select(F.col("_id").alias("id_a"),
+                              F.col("_sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("_id").alias("id_b"),
+                          F.col("_sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -173,14 +194,22 @@ def simhash64(text: Column, shingle_n: int = 2) -> Column:
     shingle-hash array, packing counts via shiftright/bitwise ops.
     """
     hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
-    bits = []
-    for j in range(64):
-        cnt = F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1,
-        )
-        bits.append(F.when(cnt > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
-    out = F.lit(0).cast("long")
-    for j, bit in enumerate(bits):
-        out = out.bitwiseOR(F.shiftleft(bit, j))
-    return out
+    # one nested expression over bit masks (see minhash_signature for why
+    # not 64 separate aggregate columns); bit-test via AND with a literal
+    # power-of-two array — shiftleft/shiftright need Python-int bit counts
+    signed_pows = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
+    pow_arr = F.array(*[F.lit(p).cast("long") for p in signed_pows])
+    return F.aggregate(
+        pow_arr,
+        F.lit(0).cast("long"),
+        lambda out, mask: out.bitwiseOR(
+            F.when(
+                F.aggregate(
+                    hashes, F.lit(0).cast("long"),
+                    lambda acc, h: acc
+                    + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+                ) > 0,
+                mask,
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+    )

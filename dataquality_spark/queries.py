@@ -1,0 +1,709 @@
+"""Driver-contract queries: Spark implementation + ANSI-SQL (DuckDB) oracle
+for every SQL-expressible operator from SURVEY.md §2, over the driver's
+testdata tables (TESTDATA.md), plus rows-only entries for the genuinely
+non-SQL ops (model UDFs, LSH, SimHash, multimodal plumbing).
+
+Alignment rules (driver compares row-count + schema + order-insensitive
+value hash at sf0.01):
+  * every computed column is aliased identically on both sides
+  * every float is rounded (6dp; 4dp for cross-engine sums like cosines)
+  * every top-k has a total deterministic tiebreak
+  * quantiles: Spark exact `percentile` == DuckDB `quantile_cont` (linear
+    interpolation; verified on doubles)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataquality_spark import spec
+from dataquality_spark.functions import text as TX
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_DOC_LANGS = ["de", "es", "fr"]  # documents langs with own stop lists; rest→en
+
+
+def _sql_stoplist(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in spec.STOPWORDS[lang]) + "]"
+
+
+_SQL_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _sql_stop_cnt() -> str:
+    branches = " ".join(
+        f"WHEN lang = '{lg}' THEN len(list_filter({_SQL_WORDS}, "
+        f"x -> list_contains({_sql_stoplist(lg)}, lower(x))))"
+        for lg in _DOC_LANGS
+    )
+    return (f"CASE {branches} ELSE len(list_filter({_SQL_WORDS}, "
+            f"x -> list_contains({_sql_stoplist('en')}, lower(x)))) END")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — flagship heuristic gate over `documents` (F-4..F-9, G-1 shapes).
+# Thresholds scaled to the documents corpus (10-99 words), not the pages spec.
+
+_DOC_MIN_WORDS, _DOC_MAX_WORDS = 20, 1000
+_DOC_STOP_MIN = 0.04
+
+
+def q_heuristic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.words_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        TX.word_count(words).alias("word_cnt"),
+        F.round(TX.mean_word_len(words), 6).alias("mean_wlen"),
+        F.round(TX.symbol_word_ratio(F.col("text"), words), 6).alias("symbol_frac"),
+        F.round(TX.stopword_count(words, F.col("lang"))
+                / TX.word_count(words), 6).alias("stop_frac"),
+    )
+    return d.select(
+        "doc_id", "word_cnt", "mean_wlen", "symbol_frac", "stop_frac",
+        (F.col("word_cnt") >= _DOC_MIN_WORDS).alias("r_min_words"),
+        (F.col("word_cnt") <= _DOC_MAX_WORDS).alias("r_max_words"),
+        F.col("mean_wlen").between(3.0, 10.0).alias("r_mean_wlen"),
+        (F.col("symbol_frac") <= 0.1).alias("r_symbol"),
+        (F.col("stop_frac") >= _DOC_STOP_MIN).alias("r_stopword"),
+        (
+            (F.col("word_cnt") >= _DOC_MIN_WORDS)
+            & (F.col("word_cnt") <= _DOC_MAX_WORDS)
+            & F.col("mean_wlen").between(3.0, 10.0)
+            & (F.col("symbol_frac") <= 0.1)
+            & (F.col("stop_frac") >= _DOC_STOP_MIN)
+        ).alias("keep"),
+    )
+
+
+_SQL_HEURISTIC_GATE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len({_SQL_WORDS}) AS word_cnt,
+         round(list_aggregate(list_transform({_SQL_WORDS}, x -> len(x)), 'sum')
+               / len({_SQL_WORDS})::double, 6) AS mean_wlen,
+         round(len(regexp_extract_all(text, '[#@%^*+=<>|~]'))
+               / len({_SQL_WORDS})::double, 6) AS symbol_frac,
+         round(({_sql_stop_cnt()})
+               / len({_SQL_WORDS})::double, 6) AS stop_frac
+  FROM documents
+)
+SELECT doc_id, word_cnt, mean_wlen, symbol_frac, stop_frac,
+       word_cnt >= {_DOC_MIN_WORDS} AS r_min_words,
+       word_cnt <= {_DOC_MAX_WORDS} AS r_max_words,
+       mean_wlen BETWEEN 3.0 AND 10.0 AS r_mean_wlen,
+       symbol_frac <= 0.1 AS r_symbol,
+       stop_frac >= {_DOC_STOP_MIN} AS r_stopword,
+       (word_cnt >= {_DOC_MIN_WORDS} AND word_cnt <= {_DOC_MAX_WORDS}
+        AND mean_wlen BETWEEN 3.0 AND 10.0 AND symbol_frac <= 0.1
+        AND stop_frac >= {_DOC_STOP_MIN}) AS keep
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — one-pass per-column null/blank metrics over `events` (G-4/G-5, F-4)
+
+def q_null_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(F.col("value").isNull().cast("double")), 6)
+        .alias("null_frac_value"),
+        F.round(F.avg(F.col("props").isNull().cast("double")), 6)
+        .alias("null_frac_props"),
+        F.round(F.avg((F.col("event_type").isNull()
+                       | (F.trim("event_type") == "")).cast("double")), 6)
+        .alias("blank_frac_event_type"),
+    )
+
+
+_SQL_NULL_METRICS = """
+SELECT count(*) AS n_rows,
+       round(avg((value IS NULL)::int), 6) AS null_frac_value,
+       round(avg((props IS NULL)::int), 6) AS null_frac_props,
+       round(avg((event_type IS NULL OR trim(event_type) = '')::int), 6)
+           AS blank_frac_event_type
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — duplicate-rate by content key over `documents` (G-8 / U1 score shape)
+
+def q_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(TX.words_col(F.col("text")), 1, 3))
+    grouped = docs.select(key.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .alias("dup_rows"),
+        F.round(1.0 - F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+                / F.sum("cnt"), 6).alias("score"),
+    )
+
+
+_SQL_PREFIX_DUP_RATE = f"""
+WITH g AS (
+  SELECT array_to_string(list_slice({_SQL_WORDS}, 1, 3), ' ') AS k,
+         count(*) AS cnt
+  FROM documents GROUP BY 1
+)
+SELECT count(*) AS n_groups,
+       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_rows,
+       round(1.0 - sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+             / sum(cnt)::double, 6) AS score
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 — first-seen-wins winners per content key (window §2.5, J-4 shape)
+
+def q_dedup_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    key = F.concat_ws(" ", F.slice(TX.words_col(F.col("text")), 1, 2))
+    w = Window.partitionBy("k").orderBy("doc_id")
+    return (docs.select(key.alias("k"), "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .groupBy("k")
+            .agg(F.min("doc_id").alias("winner_doc_id"))
+            .join(docs.select(key.alias("k")).groupBy("k")
+                  .agg(F.count(F.lit(1)).alias("group_size")), "k"))
+
+
+_SQL_DEDUP_WINNERS = f"""
+WITH t AS (
+  SELECT array_to_string(list_slice({_SQL_WORDS}, 1, 2), ' ') AS k, doc_id
+  FROM documents
+)
+SELECT k, min(doc_id) AS winner_doc_id, count(*) AS group_size
+FROM t GROUP BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 — top-3 per key (O-1/J-4): events by value per type, total tiebreak
+
+def q_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("event_type", "rn", "event_id",
+                    F.round("value", 6).alias("value")))
+
+
+_SQL_TOPK_PER_TYPE = """
+SELECT event_type, rn, event_id, round(value, 6) AS value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — grouped IQR outlier detection (G-2 / A2, factor 1.5)
+
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    out_flag = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr)
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.first("q1"), 6).alias("q1"),
+                 F.round(F.first("q3"), 6).alias("q3"),
+                 F.sum(out_flag.cast("long")).alias("outliers"),
+                 F.round(1.0 - F.avg(out_flag.cast("double")), 6)
+                 .alias("score")))
+
+
+_SQL_IQR_OUTLIERS = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       count(*) AS n,
+       round(any_value(q.q1), 6) AS q1,
+       round(any_value(q.q3), 6) AS q3,
+       sum((e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))::int) AS outliers,
+       round(1.0 - avg((e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))::int), 6) AS score
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — membership semi-join (J-1 / C2): European customers per nation
+
+def q_membership_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    eu_nat = nat.join(F.broadcast(reg.where(F.col("r_name") == "EUROPE")),
+                      nat.n_regionkey == reg.r_regionkey, "left_semi")
+    return (cust.join(F.broadcast(eu_nat),
+                      cust.c_nationkey == eu_nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal")))
+
+
+_SQL_MEMBERSHIP = """
+SELECT n.n_name,
+       count(*) AS n_customers,
+       round(avg(c.c_acctbal), 4) AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — chronology predicate across a join (F-8 / A4: nulls valid)
+
+def q_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    viol = (F.col("l_shipdate") < F.col("o_orderdate")) & F.col(
+        "l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(viol.cast("long")).alias("violations"),
+        F.round(1.0 - F.avg(viol.cast("double")), 6).alias("score"),
+    )
+
+
+_SQL_CHRONOLOGY = """
+SELECT count(*) AS n_lineitems,
+       sum((l.l_shipdate < o.o_orderdate AND l.l_shipdate IS NOT NULL
+            AND o.o_orderdate IS NOT NULL)::int) AS violations,
+       round(1.0 - avg((l.l_shipdate < o.o_orderdate
+            AND l.l_shipdate IS NOT NULL
+            AND o.o_orderdate IS NOT NULL)::int), 6) AS score
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — row-sum consistency check (G-3 / A3): order total vs line items
+
+def q_rowsum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).alias("recomputed"))
+    j = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    mismatch = (F.col("recomputed").isNull()
+                | (F.abs(F.col("recomputed") - F.col("o_totalprice")) > 0.01))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(mismatch.cast("long")).alias("mismatches"),
+        F.round(1.0 - F.avg(mismatch.cast("double")), 6).alias("score"),
+    )
+
+
+_SQL_ROWSUM = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS recomputed
+  FROM lineitem GROUP BY 1
+)
+SELECT count(*) AS n_orders,
+       sum((p.recomputed IS NULL
+            OR abs(p.recomputed - o.o_totalprice) > 0.01)::int) AS mismatches,
+       round(1.0 - avg((p.recomputed IS NULL
+            OR abs(p.recomputed - o.o_totalprice) > 0.01)::int), 6) AS score
+FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — Levenshtein-ratio best match (J-3/J-4/O-1, X-6; C3 semantics)
+
+def q_lev_bestmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("name"))
+    b = _t(spark, sf_dir, "nation").select(F.col("n_name").alias("cand"))
+    pairs = a.join(F.broadcast(b), F.col("name") != F.col("cand"))
+    sim = F.round(TX.levenshtein_ratio(F.col("name"), F.col("cand")), 6)
+    w = Window.partitionBy("name").orderBy(F.desc("sim"), F.asc("cand"))
+    return (pairs.select("name", "cand", sim.alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("name", F.col("cand").alias("best_match"), "sim"))
+
+
+_SQL_LEV_BESTMATCH = """
+SELECT name, cand AS best_match, sim FROM (
+  SELECT a.n_name AS name, b.n_name AS cand,
+         round(1.0 - levenshtein(a.n_name, b.n_name)::double
+               / greatest(len(a.n_name), len(b.n_name)), 6) AS sim,
+         row_number() OVER (PARTITION BY a.n_name
+                            ORDER BY round(1.0 - levenshtein(a.n_name, b.n_name)::double
+                                           / greatest(len(a.n_name), len(b.n_name)), 6) DESC,
+                                     b.n_name ASC) AS rn
+  FROM nation a JOIN nation b ON a.n_name <> b.n_name
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — exact n-gram Jaccard pairs (J-2 / C1 verify stage; brute force is the
+# correctness oracle — the scale path is the LSH query below, rows-only)
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size(TX.words_col(F.col("text"))) - 3, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.slice(TX.words_col(F.col("text")), i + 1, 3)),
+        )).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (pairs.select("id_a", "id_b",
+                         F.round(inter / union, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= 0.5))
+
+
+_SQL_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len({_SQL_WORDS}) - 3, 0) + 2),
+             i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 2), ' ')
+         )) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s))::double
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+           AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::double
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 — brute-force cosine top-k over embeddings (ANN baseline)
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    corpus = emb.where(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    j = corpus.crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nq = F.sqrt(F.aggregate(F.transform(
+        "qe", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nc = F.sqrt(F.aggregate(F.transform(
+        "ce", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    sim = F.round(dot / (nq * nc), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (j.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id", "cos_sim", "rn"))
+
+
+_SQL_EMBEDDING_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 5),
+     c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+           WHERE vec_id >= 5),
+     s AS (
+  SELECT q.query_id, c.neighbor_id,
+         round(list_aggregate(list_transform(range(1, 65),
+                   i -> qe[i]::double * ce[i]::double), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> qe[i]::double * qe[i]::double), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> ce[i]::double * ce[i]::double), 'sum'))), 4) AS cos_sim
+  FROM c CROSS JOIN q
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+  FROM s
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 — language allowlist conformance (J-1 / C2 target analogue)
+
+def q_lang_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    allow = ["en", "de", "fr", "es"]
+    return (docs.withColumn("conform", F.col("lang").isin(allow))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(F.col("conform").cast("double")), 6)
+                 .alias("conform_rate")))
+
+
+_SQL_LANG_ALLOWLIST = """
+SELECT lang, count(*) AS n_docs,
+       round(avg((lang IN ('en','de','fr','es'))::int), 6) AS conform_rate
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 — token statistics (text analysis: token counting, TTR)
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.words_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("token_cnt"),
+        F.size(F.array_distinct(words)).alias("distinct_cnt"),
+        F.round(F.size(F.array_distinct(words)) / F.size(words), 6)
+        .alias("ttr"),
+        F.length("text").alias("char_cnt"),
+    )
+
+
+_SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({_SQL_WORDS}) AS token_cnt,
+       len(list_distinct({_SQL_WORDS})) AS distinct_cnt,
+       round(len(list_distinct({_SQL_WORDS}))::double
+             / len({_SQL_WORDS}), 6) AS ttr,
+       len(text) AS char_cnt
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — document fingerprint: rolling polynomial hash over word features
+# (portable across engines: no engine-specific hash functions)
+
+_FP_K = 1_000_003
+_FP_M = 2_147_483_647
+# word feature: len + 31*first-codepoint + 961*last-codepoint
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.words_col(F.col("text"))
+    wh = F.transform(
+        words,
+        lambda w: (F.length(w) + 31 * F.ascii(w)
+                   + 961 * F.ascii(F.substring(w, -1, 1))).cast("long"))
+    fp = F.aggregate(wh, F.lit(0).cast("long"),
+                     lambda acc, x: (acc * _FP_K + x) % _FP_M)
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+_SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::bigint,
+           list_transform({_SQL_WORDS},
+             w -> (len(w) + 31 * unicode(w[1]) + 961 * unicode(w[-1]))::bigint)),
+         (a, b) -> (a * {_FP_K} + b) % {_FP_M}) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — grouped Pearson correlation (G-6 / P2, I1)
+
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 5)
+                 .alias("corr_qty_price"),
+                 F.round(F.corr("l_extendedprice", "l_discount"), 5)
+                 .alias("corr_price_disc"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+_SQL_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 5) AS corr_qty_price,
+       round(corr(l_extendedprice, l_discount), 5) AS corr_price_disc,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — distinct values (E-1 / G-9)
+
+def q_distinct_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "documents")
+            .select("lang").where(F.col("lang").isNotNull()).distinct())
+
+
+_SQL_DISTINCT_LANGS = "SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL"
+
+
+# ---------------------------------------------------------------------------
+# Q18 — numeric-coercion predicate (F-5 / A1): digits in events.props
+
+def q_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    digits = F.regexp_extract(F.col("props"), r"(\d+)", 1)
+    casted = F.nullif(digits, F.lit("")).try_cast("bigint")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(casted.isNotNull().cast("long")).alias("n_numeric"),
+        F.sum((casted.isNull() & F.col("props").isNotNull()).cast("long"))
+        .alias("n_non_numeric"),
+        F.round(F.avg(casted), 4).alias("avg_extracted"),
+    )
+
+
+_SQL_NUMERIC_COERCION = """
+SELECT count(*) AS n_rows,
+       sum((try_cast(nullif(regexp_extract(props, '(\\d+)', 1), '')
+            AS bigint) IS NOT NULL)::int) AS n_numeric,
+       sum((try_cast(nullif(regexp_extract(props, '(\\d+)', 1), '')
+            AS bigint) IS NULL AND props IS NOT NULL)::int) AS n_non_numeric,
+       round(avg(try_cast(nullif(regexp_extract(props, '(\\d+)', 1), '')
+            AS bigint)), 4) AS avg_extracted
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no ANSI-SQL equivalent: model UDFs, LSH plans, binary
+# plumbing — the driver records a rows-only check; SURVEY.md §2.10)
+
+def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full north-rule DAG on the synthetic pages corpus → per-rule metrics."""
+    from dataquality_spark import pipeline
+    from dataquality_spark.synth import generate_pages
+    n = 2000 if "0.001" in sf_dir else 5000
+    pages = generate_pages(spark, n, seed=42)
+    ann = pipeline.run_pipeline(spark, pages)
+    return pipeline.pipeline_metrics(ann)
+
+
+def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-UDF language ID over `documents` (C2/C3 analogue)."""
+    from dataquality_spark.models.udf import with_model_scores
+    from dataquality_spark import pipeline
+    art = pipeline.get_artifacts()
+    docs = _t(spark, sf_dir, "documents")
+    out = with_model_scores(spark, docs, art["langid"], art["lm"])
+    return (out.groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("lang_conf"), 4).alias("avg_conf")))
+
+
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-banded LSH candidate pairs (the at-scale near-dup path)."""
+    from dataquality_spark.operators.dedup import near_dup_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, id_col="doc_id", jaccard_threshold=0.5)
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: distribution of 16-bit prefix buckets."""
+    from dataquality_spark.operators.dedup import simhash64
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(F.shiftrightunsigned(
+                simhash64(F.col("text")), 48).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scrub over documents text (byte-identity is pytest-gated)."""
+    from dataquality_spark.scrub import with_scrubbed_text
+    docs = _t(spark, sf_dir, "documents")
+    return (with_scrubbed_text(docs)
+            .select("doc_id", F.length("scrubbed_text").alias("scrubbed_len")))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "heuristic_gate": q_heuristic_gate,
+    "null_metrics": q_null_metrics,
+    "prefix_dup_rate": q_prefix_dup_rate,
+    "dedup_winners": q_dedup_winners,
+    "topk_per_type": q_topk_per_type,
+    "iqr_outliers": q_iqr_outliers,
+    "membership_semijoin": q_membership_semijoin,
+    "chronology": q_chronology,
+    "rowsum_check": q_rowsum_check,
+    "lev_bestmatch": q_lev_bestmatch,
+    "jaccard_pairs": q_jaccard_pairs,
+    "embedding_knn": q_embedding_knn,
+    "lang_allowlist": q_lang_allowlist,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "corr": q_corr,
+    "distinct_langs": q_distinct_langs,
+    "numeric_coercion": q_numeric_coercion,
+    # rows-only (non-SQL-expressible)
+    "pages_pipeline": q_pages_pipeline,
+    "langid_scores": q_langid_scores,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
+    "simhash_buckets": q_simhash_buckets,
+    "scrub_documents": q_scrub_documents,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "heuristic_gate": _SQL_HEURISTIC_GATE,
+    "null_metrics": _SQL_NULL_METRICS,
+    "prefix_dup_rate": _SQL_PREFIX_DUP_RATE,
+    "dedup_winners": _SQL_DEDUP_WINNERS,
+    "topk_per_type": _SQL_TOPK_PER_TYPE,
+    "iqr_outliers": _SQL_IQR_OUTLIERS,
+    "membership_semijoin": _SQL_MEMBERSHIP,
+    "chronology": _SQL_CHRONOLOGY,
+    "rowsum_check": _SQL_ROWSUM,
+    "lev_bestmatch": _SQL_LEV_BESTMATCH,
+    "jaccard_pairs": _SQL_JACCARD_PAIRS,
+    "embedding_knn": _SQL_EMBEDDING_KNN,
+    "lang_allowlist": _SQL_LANG_ALLOWLIST,
+    "token_stats": _SQL_TOKEN_STATS,
+    "fingerprint": _SQL_FINGERPRINT,
+    "corr": _SQL_CORR,
+    "distinct_langs": _SQL_DISTINCT_LANGS,
+    "numeric_coercion": _SQL_NUMERIC_COERCION,
+}
