@@ -1,0 +1,122 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {...}, "sf": ...}.
+
+Headline = the full north-rule pipeline (heuristic rules → langid+perplexity
+UDF → scrub → skew-salted dedup → decisions write) over the deterministic
+synthetic pages corpus sized to the scale factor (sf0.1 → 600k pages), plus
+representative operator queries over the driver's tables. Pages generation is
+excluded from timing (it is test fixture setup, not pipeline work); the
+generated parquet is cached across runs keyed by (n, seed).
+
+All diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_pages(spark, n_rows: int, seed: int = 42) -> str:
+    from dataquality_spark.synth import generate_pages
+    path = f"/tmp/dq_bench_pages_{n_rows}_{seed}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        log(f"generating {n_rows} pages → {path}")
+        generate_pages(spark, n_rows, seed=seed).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
+def bench_pipeline(spark, pages_path: str, n_rows: int) -> dict:
+    from dataquality_spark import pipeline
+    pipeline.get_artifacts()  # train outside the timed region
+    pages = spark.read.parquet(pages_path)
+    out = "/tmp/dq_bench_decisions"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    ann = pipeline.run_pipeline(spark, pages)
+    dec = pipeline.decisions_table(ann)
+    dec.write.mode("overwrite").parquet(out)
+    metrics = pipeline.pipeline_metrics(ann).collect()
+    dt = time.time() - t0
+    ann.unpersist()
+    kept = sum(r.pass_count for r in metrics if r.rule_id == "dedup")
+    log(f"pipeline: {dt:.1f}s, {n_rows / dt:.0f} docs/s, kept={kept}")
+    return {"sec": dt, "docs_per_sec": n_rows / dt, "rows": n_rows}
+
+
+HEADLINE_QUERIES = [
+    "heuristic_gate", "token_stats", "iqr_outliers", "topk_per_type",
+    "membership_semijoin", "chronology", "rowsum_check",
+    "minhash_lsh_neardup", "embedding_knn", "fingerprint",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pipeline_only = "--pipeline-only" in sys.argv
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dataquality_spark.session import get_spark
+    from dataquality_spark import queries as Q
+
+    sf = sf_from_dir(sf_dir)
+    n_pages = max(2000, int(6_000_000 * sf))
+    spark = get_spark(app_name="dq_bench", master=f"local[{cpus}]")
+    log(f"bench: sf={sf} sf_dir={sf_dir} cpus={cpus} n_pages={n_pages}")
+
+    pages_path = ensure_pages(spark, n_pages)
+
+    # warm up JVM/codegen/python workers on a small slice
+    warm = ensure_pages(spark, 5000, seed=7)
+    from dataquality_spark import pipeline as P
+    ann = P.run_pipeline(spark, spark.read.parquet(warm))
+    ann.where("keep").count()
+    ann.unpersist()
+
+    pipe = bench_pipeline(spark, pages_path, n_pages)
+
+    qsecs: dict[str, float] = {"pipeline": round(pipe["sec"], 3)}
+    if not pipeline_only:
+        for name in HEADLINE_QUERIES:
+            fn = Q.QUERIES[name]
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            qsecs[name] = round(time.time() - t0, 3)
+            log(f"query {name}: {qsecs[name]}s ({n} rows)")
+
+    total = round(sum(qsecs.values()), 3)
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": qsecs,
+        "sf": sf,
+        "pipeline_docs_per_sec": round(pipe["docs_per_sec"], 1),
+        "pipeline_rows": pipe["rows"],
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Two-cluster-size scaling evidence (north rule: efficiency ≥ 0.8, N → 4N).
+
+The sandbox has no multi-executor cluster, so — per BASELINE.md — the same
+job runs at two parallelism levels in fresh JVMs (local[8] vs local[32] on
+the 32-core host) over the SAME input, and we report throughput at both plus
+``efficiency = (docs_per_sec@32 / docs_per_sec@8) / 4``. Results land in
+BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+LEVELS = [8, 32]
+
+
+def run_level(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--pipeline-only"],
+        env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    results = {}
+    for cpus in LEVELS:
+        print(f"running pipeline at local[{cpus}]…", file=sys.stderr, flush=True)
+        results[cpus] = run_level(cpus, sf_dir)
+        print(f"  local[{cpus}]: {results[cpus]['pipeline_docs_per_sec']} docs/s",
+              file=sys.stderr, flush=True)
+    lo, hi = LEVELS
+    thr_lo = results[lo]["pipeline_docs_per_sec"]
+    thr_hi = results[hi]["pipeline_docs_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    summary = {
+        "sf_dir": sf_dir,
+        "rows": results[hi]["pipeline_rows"],
+        f"docs_per_sec_local{lo}": thr_lo,
+        f"docs_per_sec_local{hi}": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — measured baseline
+
+Full north-rule pipeline (heuristic rules → langid+perplexity Arrow UDF →
+scrub → skew-salted exact dedup → decisions write) over the deterministic
+synthetic pages corpus, {summary['rows']} rows (input: {sf_dir}).
+
+Two-cluster-size scaling evidence (sandbox stand-in for N vs 4N executors,
+per BASELINE.md): same job, same input, fresh JVM per level.
+
+| parallelism | docs/sec |
+|---|---|
+| local[{lo}] (N) | {thr_lo} |
+| local[{hi}] (4N) | {thr_hi} |
+
+scaling efficiency = ({thr_hi} / {thr_lo}) / {hi // lo} = **{eff:.3f}**
+(target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
+""")
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
