@@ -39,7 +39,12 @@ def ensure_pages(spark, n_rows: int, seed: int = 42) -> str:
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         log(f"generating {n_rows} pages → {path}")
-        generate_pages(spark, n_rows, seed=seed).write.mode(
+        # fixed file count regardless of generation parallelism: parquet
+        # splits on row-group boundaries, so an 8-file write caps every
+        # downstream scan at 8-way parallelism (measured: local[32] ran at
+        # local[8] speed off an 8-file input)
+        parts = max(96, n_rows // 6000)
+        generate_pages(spark, n_rows, seed=seed, partitions=parts).write.mode(
             "overwrite").parquet(path)
     return path
 
@@ -54,10 +59,13 @@ def bench_pipeline(spark, pages_path: str, n_rows: int) -> dict:
     ann = pipeline.run_pipeline(spark, pages)
     dec = pipeline.decisions_table(ann)
     dec.write.mode("overwrite").parquet(out)
-    metrics = pipeline.pipeline_metrics(ann).collect()
+    # metrics from the materialized decisions — avoids re-running the
+    # dedup join for a second action
+    metrics = pipeline.metrics_from_decisions(
+        spark.read.parquet(out)).collect()
     dt = time.time() - t0
     ann.unpersist()
-    kept = sum(r.pass_count for r in metrics if r.rule_id == "dedup")
+    kept = {r.rule_id: r.pass_count for r in metrics}.get("dedup", 0)
     log(f"pipeline: {dt:.1f}s, {n_rows / dt:.0f} docs/s, kept={kept}")
     return {"sec": dt, "docs_per_sec": n_rows / dt, "rows": n_rows}
 

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both designed for a corpus that does NOT fit on one node:
+
+* ``cosine_topk`` — exact brute force, but distributed properly: the query
+  set is small and broadcast; each corpus partition computes a vectorized
+  numpy similarity block and emits only its LOCAL top-k per query
+  (`mapInPandas`), so the shuffle carries at most partitions × k × n_queries
+  rows; a final window takes the global top-k. No cross join materializes.
+
+* ``cosine_topk_lsh`` — random-hyperplane LSH (Charikar 2002, public): sign
+  bits against a deterministic seeded plane matrix → bucket key; candidates
+  are corpus rows whose bucket matches any query bucket (multi-probe over
+  1-bit flips); exact re-rank within candidates. Sub-linear candidate sets
+  at scale, recall controlled by n_planes/probes.
+
+Reference parity: this is the engine's generalization of the reference's
+similarity machinery (TF-IDF cosine C1/C2 `utils/column_operations.py:72-87`)
+to dense embeddings; the argmax-per-row extraction mirrors J-4
+(`utils/table_operations.py:30-56`).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataquality_spark.models.corpus import mix64
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([r[1] for r in rows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    return qids, Q
+
+
+def cosine_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                k: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding", qid_col: str | None = None
+                ) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cos_sim, rn)."""
+    qid_col = qid_col or id_col
+    qids, Q = _collect_queries(queries, qid_col, vec_col)
+    b_q = spark.sparkContext.broadcast((qids, Q))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Q_ = b_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            sims = C @ Q_.T  # [B, n_queries]
+            kk = min(k, sims.shape[0])
+            # local top-k per query (argpartition: O(B) per query)
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # [kk, nq]
+            out = {
+                "query_id": np.repeat(qids_, kk),
+                "neighbor_id": pdf[id_col].to_numpy()[idx.T.ravel()],
+                "cos_sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_sim", 6).alias("cos_sim"), "rn"))
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-Gaussian hyperplanes from the splitmix PRNG."""
+    n = dim * n_planes
+    u1 = (mix64(np.arange(n, dtype=np.uint64) + np.uint64(seed)) >> np.uint64(11)
+          ).astype(np.float64) / float(1 << 53)
+    u2 = (mix64(np.arange(n, 2 * n, dtype=np.uint64) + np.uint64(seed))
+          >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    g = np.sqrt(-2 * np.log(np.maximum(u1, 1e-300))) * np.cos(2 * np.pi * u2)
+    return g.reshape(n_planes, dim)
+
+
+def _bucket_udf(spark: SparkSession, dim: int, n_planes: int, seed: int = 42):
+    P = _planes(dim, n_planes, seed)
+    b_p = spark.sparkContext.broadcast(P)
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        P_ = b_p.value
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (V @ P_.T) > 0  # [B, n_planes]
+        keys = np.zeros(len(V), dtype=np.int64)
+        for j in range(P_.shape[0]):
+            keys |= bits[:, j].astype(np.int64) << j
+        return pd.Series(keys)
+
+    return bucket
+
+
+def cosine_topk_lsh(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                    k: int = 10, n_planes: int = 8, probes: int = 1,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int | None = None, seed: int = 42) -> DataFrame:
+    """Approximate top-k via hyperplane-LSH buckets + exact re-rank.
+
+    ``probes`` > 0 adds all buckets within that Hamming distance of each
+    query's bucket (multi-probe), trading candidates for recall.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    bucket = _bucket_udf(spark, dim, n_planes, seed)
+    c = corpus.withColumn("_bucket", bucket(F.col(vec_col)))
+    q = queries.withColumn("_bucket", bucket(F.col(vec_col)))
+
+    # multi-probe expansion: query bucket ± each 1-bit flip (probes=1)
+    probe_cols = [F.col("_bucket")]
+    if probes >= 1:
+        probe_cols += [
+            F.col("_bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]
+    q_probes = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(F.array(*probe_cols)).alias("_bucket"),
+    )
+    cand = c.join(F.broadcast(q_probes), "_bucket").select(
+        F.col("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        "_qvec",
+    ).where(F.col("neighbor_id") != F.col("query_id")) \
+     .dropDuplicates(["query_id", "neighbor_id"])
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.maximum(np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1),
+                         1e-12)
+        return pd.Series(num / den)
+
+    scored = cand.withColumn("cos_sim", cos(F.col("_qvec"), F.col("_cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_sim", 6).alias("cos_sim"), "rn"))

@@ -121,3 +121,18 @@ def decisions_table(annotated: DataFrame) -> DataFrame:
 def pipeline_metrics(annotated: DataFrame) -> DataFrame:
     """rule_metrics(rule_id, pass_count, fail_count, score) over all rules."""
     return rule_metrics(annotated, PIPELINE_RULES)
+
+
+def metrics_from_decisions(decisions: DataFrame) -> DataFrame:
+    """Same rule_metrics schema, computed from a written decisions table's
+    `rules` map — lets callers that already materialized decisions get
+    metrics without re-running the dedup join (one cheap scan + agg)."""
+    exploded = decisions.select(F.explode("rules").alias("rule_id", "passed"))
+    return (exploded.groupBy("rule_id").agg(
+        F.count(F.when(F.col("passed"), 1)).alias("pass_count"),
+        F.count(F.when(~F.col("passed"), 1)).alias("fail_count"))
+        .select("rule_id", "pass_count", "fail_count",
+                F.when((F.col("pass_count") + F.col("fail_count")) > 0,
+                       F.round(F.col("pass_count")
+                               / (F.col("pass_count") + F.col("fail_count")), 6))
+                .alias("score")))

@@ -1,0 +1,87 @@
+"""Run-log sink — the append-only analogue of the reference's XLSX output log.
+
+The reference appends one row per test run to ``DQS_Output_Log_Test.xlsx``
+with a fixed column set, re-reading and re-writing the whole workbook each
+time (`utils/core_operations.py:73-137` — O(log²) per run). Here the same
+schema appends as snapshots on a ManifestCatalog table (S-6 → SURVEY.md §2.1).
+
+The one-line summary synthesis replaces the reference's 137-line 16-way
+if-chain (`utils/core_operations.py:152-289`, X-11) with a per-rule template
+registry.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from dataquality_spark.catalog import ManifestCatalog
+
+RUN_LOG_COLUMNS = [
+    "Dataset", "Dimension", "Test", "Selected_Columns", "Threshold", "Score",
+    "Run_Time_and_Date", "New_or_Existing_Test", "One_Line_Summary",
+    "Errors", "Why_Did_the_Test_Fail",
+]
+
+# rule_id → (dimension, summary template over pass/fail counts)
+_SUMMARIES: dict[str, tuple[str, str]] = {
+    "nonempty": ("completeness", "{fail} of {total} documents have null/blank text"),
+    "min_words": ("accuracy", "{fail} of {total} documents fall below the minimum word count"),
+    "max_words": ("accuracy", "{fail} of {total} documents exceed the maximum word count"),
+    "mean_word_len": ("accuracy", "{fail} of {total} documents have implausible mean word length"),
+    "alpha_ratio": ("accuracy", "{fail} of {total} documents are mostly non-alphabetic"),
+    "symbol_ratio": ("accuracy", "{fail} of {total} documents are symbol-heavy"),
+    "stopword_ratio": ("consistency", "{fail} of {total} documents lack natural stop-word density"),
+    "dup_lines": ("uniqueness", "{fail} of {total} documents are dominated by repeated lines"),
+    "lang_match": ("consistency", "{fail} of {total} documents contradict their claimed language"),
+    "perplexity": ("accuracy", "{fail} of {total} documents score outside the language-model band"),
+    "dedup": ("uniqueness", "{fail} of {total} documents are non-winning exact duplicates"),
+}
+
+
+def one_line_summary(rule_id: str, pass_count: int, fail_count: int) -> str:
+    dim, tmpl = _SUMMARIES.get(
+        rule_id, ("quality", "{fail} of {total} documents fail rule " + rule_id))
+    return tmpl.format(fail=fail_count, total=pass_count + fail_count)
+
+
+def rule_dimension(rule_id: str) -> str:
+    return _SUMMARIES.get(rule_id, ("quality", ""))[0]
+
+
+def append_run_log(spark: SparkSession, cat: ManifestCatalog,
+                   dataset: str, metrics_rows: list[dict],
+                   table: str = "run_log", is_new: bool = False,
+                   now: datetime.datetime | None = None) -> str:
+    """metrics_rows: dicts with rule_id/pass_count/fail_count/score (the
+    pipeline_metrics schema). Returns the new snapshot id."""
+    ts = (now or datetime.datetime.now(datetime.timezone.utc)).strftime(
+        "%Y-%m-%d %H:%M:%S")
+    rows = []
+    for m in metrics_rows:
+        rows.append({
+            "Dataset": dataset,
+            "Dimension": rule_dimension(m["rule_id"]),
+            "Test": m["rule_id"],
+            "Selected_Columns": "text",
+            "Threshold": float(m.get("threshold") or 0.0),
+            "Score": float(m["score"]) if m["score"] is not None else None,
+            "Run_Time_and_Date": ts,
+            "New_or_Existing_Test": "New" if is_new else "Existing",
+            "One_Line_Summary": one_line_summary(
+                m["rule_id"], m["pass_count"], m["fail_count"]),
+            "Errors": m.get("errors"),
+            "Why_Did_the_Test_Fail": m.get("why_failed"),
+        })
+    pdf = pd.DataFrame(rows, columns=RUN_LOG_COLUMNS)
+    sdf = spark.createDataFrame(pdf.astype({
+        "Errors": "object", "Why_Did_the_Test_Fail": "object"}))
+    return cat.write(sdf, table, mode="append",
+                     summary={"dataset": dataset, "rules": len(rows)})
+
+
+def read_run_log(spark: SparkSession, cat: ManifestCatalog,
+                 table: str = "run_log") -> DataFrame:
+    return cat.read(spark, table)

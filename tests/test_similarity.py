@@ -1,0 +1,65 @@
+"""ANN operators: brute-force correctness vs numpy, LSH recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    queries = emb.where(F.col("vec_id") < 4)
+    corpus = emb.where(F.col("vec_id") >= 4)
+    got = cosine_topk(spark, corpus, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    for qid in [0, 1, 2, 3]:
+        qv_rows = got[got.query_id == qid].sort_values("rn")
+        w = _numpy_topk_single(pdf, qid, 5)
+        assert list(qv_rows["neighbor_id"]) == w, qid
+
+
+def _numpy_topk_single(pdf, qid, k):
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    qv = V[ids == qid][0]
+    mask = ids >= 4  # corpus side
+    sims = np.round(V[mask] @ qv, 6)
+    nids = ids[mask]
+    order = np.lexsort((nids, -sims))[:k]
+    return list(nids[order])
+
+
+def test_lsh_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 8)
+    corpus = emb.where(F.col("vec_id") >= 8)
+    exact = cosine_topk(spark, corpus, queries, k=3).toPandas()
+    approx = cosine_topk_lsh(spark, corpus, queries, k=3, n_planes=6,
+                             probes=1).toPandas()
+    hits = tot = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.5, f"LSH recall too low: {hits}/{tot}"
+
+
+def test_lsh_sims_are_exact_for_found(spark, emb):
+    """LSH re-rank scores must equal brute-force scores for shared pairs."""
+    queries = emb.where(F.col("vec_id") < 3)
+    corpus = emb.where(F.col("vec_id") >= 3)
+    exact = cosine_topk(spark, corpus, queries, k=5).toPandas()
+    approx = cosine_topk_lsh(spark, corpus, queries, k=5, n_planes=4).toPandas()
+    m = exact.merge(approx, on=["query_id", "neighbor_id"],
+                    suffixes=("_e", "_a"))
+    assert len(m) > 0
+    assert np.allclose(m["cos_sim_e"], m["cos_sim_a"], atol=1e-6)
