@@ -29,6 +29,8 @@ from dataquality_spark.functions import text as TX
 
 
 def _chunk_col(n_chunks: int):
+    # must hash exactly like the pipeline's dedup key (raw text) so that
+    # every exact-dup group stays inside one chunk
     return F.pmod(TX.content_hash(F.col("text")), F.lit(n_chunks))
 
 

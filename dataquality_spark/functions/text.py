@@ -139,6 +139,14 @@ def levenshtein_ratio(a: Column, b: Column) -> Column:
     return F.when(denom > 0, 1.0 - F.levenshtein(a, b) / denom).otherwise(F.lit(1.0))
 
 
-def content_hash(text: Column) -> Column:
-    """64-bit content hash of normalized text, for exact dedup (G-8)."""
-    return F.xxhash64(normalize_text(text))
+def content_hash(text: Column, normalize: bool = False) -> Column:
+    """64-bit content hash for exact dedup (G-8).
+
+    Raw by default — faithful to reference U1, which detects duplicates on
+    raw rows (`dimensions/uniqueness/u1.py:34-39`); fuzzy variants are the
+    near-dup (C1/MinHash) stage's job. The normalize chain costs ~190µs/row
+    (Java-regex ``\\b`` over KB-scale text — measured 115s/600k docs, the
+    single largest pipeline cost), so it must not sit on the exact-dedup
+    hot path.
+    """
+    return F.xxhash64(normalize_text(text) if normalize else text)

@@ -101,7 +101,8 @@ def minhash_band_keys_udf():
 
 def exact_dedup_winners(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "url"),
                         text_col: str = "text", salt_buckets: int = 64,
-                        precomputed_hash: str | None = None) -> DataFrame:
+                        precomputed_hash: str | None = None,
+                        normalize: bool = False) -> DataFrame:
     """Per-content-hash winner via salted two-phase aggregation.
 
     Returns ``(content_hash, win)`` where win = min struct of id_cols.
@@ -110,7 +111,7 @@ def exact_dedup_winners(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "u
     """
     ts, uid = id_cols
     h = (F.col(precomputed_hash) if precomputed_hash
-         else TX.content_hash(F.col(text_col))).alias("content_hash")
+         else TX.content_hash(F.col(text_col), normalize)).alias("content_hash")
     salted = df.select(
         h,
         F.pmod(F.xxhash64(F.col(uid)), F.lit(salt_buckets)).alias("_salt"),
@@ -126,15 +127,17 @@ def exact_dedup_winners(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "u
 
 def with_dedup_flag(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "url"),
                     text_col: str = "text", salt_buckets: int = 64,
-                    flag_col: str = "r_dedup") -> DataFrame:
+                    flag_col: str = "r_dedup", normalize: bool = False) -> DataFrame:
     """Append ``r_dedup`` = True iff the row is its content group's winner.
 
     One salted shuffle (aggregation) + one hash-join back on content_hash
     (AQE skew-join is the backstop for hot hashes).
     """
     ts, uid = id_cols
-    winners = exact_dedup_winners(df, id_cols, text_col, salt_buckets)
-    df = df.withColumn("content_hash", TX.content_hash(F.col(text_col)))
+    winners = exact_dedup_winners(df, id_cols, text_col, salt_buckets,
+                                  normalize=normalize)
+    df = df.withColumn("content_hash",
+                       TX.content_hash(F.col(text_col), normalize))
     joined = df.join(winners, "content_hash", "left")
     return joined.withColumn(
         flag_col,

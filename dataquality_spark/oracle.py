@@ -133,8 +133,10 @@ def full_labels(pdf: pd.DataFrame, langid_art: dict, lm_art: dict) -> pd.DataFra
     out["pre_dedup_pass"] = (
         out["heuristic_pass"] & out["r_lang_match"] & out["r_perplexity"]
     )
-    # exact dedup among survivors: winner = min (warc_ts, url) per normalized text
-    out["_norm"] = [normalize_text_py(t) for t in out["text"]]
+    # exact dedup among survivors: winner = min (warc_ts, url) per raw text
+    # (raw, like reference U1 `dimensions/uniqueness/u1.py:34-39`; the
+    # normalized variant belongs to the near-dup stage)
+    out["_norm"] = out["text"]
     cand = out[out["pre_dedup_pass"]]
     winner_idx = (
         cand.sort_values(["_norm", "warc_ts", "url"])

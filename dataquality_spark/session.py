@@ -18,6 +18,12 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # one BLAS thread per Python worker: task parallelism comes from Spark;
+    # N workers × multithreaded OpenBLAS oversubscribes the host (measured:
+    # local[32] UDF stages ran SLOWER than local[8] before this)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     # local[N] → N threads; shuffle partitions ≈ 2×cores keeps tasks small

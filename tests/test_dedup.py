@@ -44,17 +44,21 @@ def test_exact_dedup_ts_tie_breaks_by_url(spark):
     assert out.loc["u_a", "r_dedup"] and not out.loc["u_z", "r_dedup"]
 
 
-def test_exact_dedup_normalization_insensitive(spark):
-    """Case/punct/short-digit noise dedups to the same group (ref X-1/X-2
-    normalize chain, `utils/item_operations.py:29-42`)."""
+def test_exact_dedup_normalization_opt_in(spark):
+    """Raw hashing (default, U1 parity) treats case variants as distinct;
+    normalize=True folds them (ref X-1/X-2 chain,
+    `utils/item_operations.py:29-42`) — kept off the hot path."""
     rows = [
         ("u_a", "2024-01-01", BODY),
         ("u_b", "2024-01-02", BODY.upper()),
         ("u_c", "2024-01-03", BODY + " 1234"),
     ]
-    out = with_dedup_flag(_pages(spark, rows)).toPandas().set_index("url")
-    assert out.loc["u_a", "r_dedup"]
-    assert not out.loc["u_b", "r_dedup"] and not out.loc["u_c", "r_dedup"]
+    raw = with_dedup_flag(_pages(spark, rows)).toPandas().set_index("url")
+    assert raw["r_dedup"].all()  # all distinct under raw hashing
+    norm = with_dedup_flag(_pages(spark, rows),
+                           normalize=True).toPandas().set_index("url")
+    assert norm.loc["u_a", "r_dedup"]
+    assert not norm.loc["u_b", "r_dedup"] and not norm.loc["u_c", "r_dedup"]
 
 
 @pytest.mark.parametrize("salt", [1, 2, 64, 257])

