@@ -23,6 +23,57 @@ from pyspark.sql import functions as F
 from dataquality_spark import spec
 
 
+# ---------------------------------------------------------------------------
+# Single-pass regex statistics — the pipeline hot path.
+#
+# Spark evaluates higher-order functions (filter/transform/aggregate)
+# INTERPRETED (CodegenFallback), and repeated references re-execute the whole
+# subtree (no interpreted subexpression elimination). The array formulation
+# of these stats measured 26s/600k docs at 8 cores and barely scaled; the
+# regexp_count formulations below are whole-stage-codegen'd, one pass over
+# the text each, and token-equivalent to the array definitions (a "word" is
+# a maximal \S+ run; the oracle asserts equivalence).
+# ---------------------------------------------------------------------------
+
+def word_count_rx(text: Column) -> Column:
+    """Number of \\S+ runs — identical to len(words_col(text))."""
+    return F.coalesce(
+        F.regexp_count(text, F.lit(r"\S+")), F.lit(0)).cast("long")
+
+
+def mean_word_len_rx(text: Column, wc: Column) -> Column:
+    """(non-whitespace chars) / word_cnt — identical to the per-word mean."""
+    nonws = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
+    return F.when(wc > 0, nonws / wc).otherwise(F.lit(None))
+
+
+def alpha_ratio_rx(text: Column, wc: Column) -> Column:
+    """Fraction of words containing ≥1 Unicode letter: counts the letterless
+    tokens with one bounded character-class pass and subtracts."""
+    non_alpha = F.coalesce(
+        F.regexp_count(text, F.lit(r"(^|\s)[^\p{L}\s]+(?=\s|$)")), F.lit(0))
+    return F.when(wc > 0, (wc - non_alpha) / wc).otherwise(F.lit(None))
+
+
+def stopword_count_rx(text: Column, lang: Column) -> Column:
+    """Tokens exactly equal to a stop word, via one alternation pass per
+    language branch (CASE WHEN → only the matching branch runs)."""
+    def count_for(words: list[str]) -> Column:
+        alts = "|".join(sorted(words, key=len, reverse=True))
+        pat = rf"(^|\s)({alts})(?=\s|$)"
+        return F.coalesce(
+            F.regexp_count(F.lower(text), F.lit(pat)), F.lit(0)).cast("long")
+
+    expr = None
+    for lg in spec.LANGS:
+        if lg == "en":
+            continue
+        branch = count_for(spec.STOPWORDS[lg])
+        expr = F.when(lang == lg, branch) if expr is None else expr.when(
+            lang == lg, branch)
+    return expr.otherwise(count_for(spec.STOPWORDS["en"]))
+
+
 def words_col(text: Column) -> Column:
     """Whitespace tokens; empty/null/whitespace-only text → empty array.
 

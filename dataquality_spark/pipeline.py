@@ -79,6 +79,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
         "content_hash",
         F.when(F.col("pre_dedup_pass"), TX.content_hash(F.col("text"))),
     )
+    # raw text is dead weight after hashing + scrubbing (decisions carry
+    # scrubbed_text only): keep it out of the persisted frame and the join
+    df = df.drop("text")
     if persist:
         from pyspark import StorageLevel
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -86,7 +89,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
         df.where("pre_dedup_pass"), text_col="text", salt_buckets=salt_buckets,
         precomputed_hash="content_hash",
     )
-    joined = df.join(winners, "content_hash", "left")
+    # winners ≈ one row per distinct kept document — at scale that is a huge
+    # table, and even here broadcasting ~half the input is a single-threaded
+    # driver-side build (measured ~30s serial). Shuffle-hash join instead;
+    # AQE skew handling covers hot hashes.
+    joined = df.join(winners.hint("shuffle_hash"), "content_hash", "left")
     return (
         joined.withColumn(
             "r_dedup",

@@ -33,24 +33,28 @@ STAT_COLS = [
 
 def with_text_stats(df: DataFrame, text_col: str = "text",
                     lang_col: str = "lang") -> DataFrame:
-    """Append the canonical text statistics (spec.py) in one projection."""
-    words = TX.words_col(F.col(text_col))
-    df = df.withColumn("_words", words)
-    w = F.col("_words")
+    """Append the canonical text statistics (spec.py) in one projection.
+
+    Uses the single-pass regexp_count forms (functions/text.py §regex stats)
+    — whole-stage-codegen'd, no interpreted higher-order functions in the
+    hot path; token-equivalence with the array forms is oracle-tested.
+    """
+    t = F.col(text_col)
+    df = df.withColumn("word_cnt", TX.word_count_rx(t))
+    wc = F.col("word_cnt")
     return (
-        df.withColumn("word_cnt", TX.word_count(w))
-        .withColumn("mean_wlen", TX.mean_word_len(w))
-        .withColumn("alpha_frac", TX.alpha_ratio(w))
-        .withColumn("symbol_frac", TX.symbol_word_ratio(F.col(text_col), w))
-        .withColumn("stop_cnt", TX.stopword_count(w, F.col(lang_col)))
+        df.withColumn("mean_wlen", TX.mean_word_len_rx(t, wc))
+        .withColumn("alpha_frac", TX.alpha_ratio_rx(t, wc))
+        .withColumn(
+            "symbol_frac",
+            F.when(wc > 0, TX.symbol_count(t) / wc).otherwise(F.lit(None)),
+        )
+        .withColumn("stop_cnt", TX.stopword_count_rx(t, F.col(lang_col)))
         .withColumn(
             "stop_frac",
-            F.when(F.size(w) > 0, F.col("stop_cnt") / F.size(w)).otherwise(
-                F.lit(None)
-            ),
+            F.when(wc > 0, F.col("stop_cnt") / wc).otherwise(F.lit(None)),
         )
-        .withColumn("dupline_frac", TX.dup_line_fraction(F.col(text_col)))
-        .drop("_words")
+        .withColumn("dupline_frac", TX.dup_line_fraction(t))
     )
 
 
