@@ -611,6 +611,173 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# Q19 — number extraction (X-3 `utils/item_operations.py:48-49`)
+
+def q_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    nums = F.regexp_extract_all(F.col("props"), F.lit(r"(\d+)"), 1)
+    total = F.aggregate(
+        F.transform(nums, lambda x: x.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return (ev.select(F.size(nums).alias("n_nums"), total.alias("num_sum"))
+            .groupBy("n_nums")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("num_sum").alias("total")))
+
+
+_SQL_EXTRACT_NUMBERS = """
+WITH x AS (
+  SELECT len(regexp_extract_all(props, '(\\d+)', 1)) AS n_nums,
+         list_aggregate(list_transform(regexp_extract_all(props, '(\\d+)', 1),
+                                       v -> v::bigint), 'sum') AS num_sum
+  FROM events
+)
+SELECT n_nums, count(*) AS n_rows, sum(num_sum) AS total
+FROM x GROUP BY n_nums
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — threshold-filtered correlation pairs (G-7 `utils/table_operations.py:61-80`)
+
+def q_corr_pairs_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qty__price"),
+        F.corr("l_extendedprice", "l_discount").alias("price__disc"),
+        F.corr("l_quantity", "l_tax").alias("qty__tax"),
+        F.corr("l_extendedprice", "l_tax").alias("price__tax"),
+    )
+    pairs = wide.selectExpr(
+        "stack(4, 'qty','price', qty__price, 'price','disc', price__disc, "
+        "'qty','tax', qty__tax, 'price','tax', price__tax) "
+        "as (var1, var2, corr_coeff)")
+    return pairs.select(
+        "var1", "var2", F.round("corr_coeff", 5).alias("corr_coeff"),
+        (F.abs("corr_coeff") > 0.01).alias("above_threshold"))
+
+
+_SQL_CORR_PAIRS = """
+WITH w AS (
+  SELECT corr(l_quantity, l_extendedprice) AS qp,
+         corr(l_extendedprice, l_discount) AS pd,
+         corr(l_quantity, l_tax) AS qt,
+         corr(l_extendedprice, l_tax) AS pt
+  FROM lineitem
+), pairs AS (
+  SELECT 'qty' AS var1, 'price' AS var2, qp AS corr_coeff FROM w
+  UNION ALL SELECT 'price', 'disc', pd FROM w
+  UNION ALL SELECT 'qty', 'tax', qt FROM w
+  UNION ALL SELECT 'price', 'tax', pt FROM w
+)
+SELECT var1, var2, round(corr_coeff, 5) AS corr_coeff,
+       abs(corr_coeff) > 0.01 AS above_threshold
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — union + distinct set ops (E-1/E-3)
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")).withColumn(
+        "side", F.lit("customer"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")).withColumn(
+        "side", F.lit("supplier"))
+    return (cust.unionByName(supp).distinct()
+            .groupBy("nationkey")
+            .agg(F.count(F.lit(1)).alias("n_sides")))
+
+
+_SQL_UNION_DISTINCT = """
+SELECT nationkey, count(*) AS n_sides FROM (
+  SELECT DISTINCT * FROM (
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+  )
+) GROUP BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 — datetime-format validation (F-7/X-4 `utils/item_operations.py:54-60`)
+
+def q_date_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderpriority"))
+        .otherwise(F.col("o_orderdate").cast("string")).alias("s"))
+    parsed = F.expr("try_cast(s as timestamp)")
+    return mixed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(parsed.isNotNull().cast("long")).alias("n_valid"),
+        F.sum(parsed.isNull().cast("long")).alias("n_invalid"),
+    )
+
+
+_SQL_DATE_FORMAT = """
+WITH m AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+              ELSE o_orderdate::varchar END AS s
+  FROM orders
+)
+SELECT count(*) AS n_rows,
+       sum((try_cast(s AS timestamp) IS NOT NULL)::int) AS n_valid,
+       sum((try_cast(s AS timestamp) IS NULL)::int) AS n_invalid
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q23 — range predicates (F-6 / C5 `dimensions/consistency/c5.py:42-67`)
+
+def q_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    flag = F.col("p_size").between(5, 45)
+    return (p.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((~flag).cast("long")).alias("out_of_range"),
+                 F.round(F.avg(flag.cast("double")), 6).alias("score")))
+
+
+_SQL_RANGE_CHECK = """
+SELECT p_brand, count(*) AS n,
+       sum((p_size NOT BETWEEN 5 AND 45)::int) AS out_of_range,
+       round(avg((p_size BETWEEN 5 AND 45)::int), 6) AS score
+FROM part GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q24 — first/last per key via window frames (§2.5)
+
+def q_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (ev.select(
+        "user_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.count(F.lit(1)).over(w).alias("n_events"))
+        .distinct())
+
+
+_SQL_FIRST_LAST = """
+SELECT DISTINCT user_id,
+       first_value(event_id) OVER w AS first_event,
+       last_value(event_id) OVER w AS last_event,
+       count(*) OVER w AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (no ANSI-SQL equivalent: model UDFs, LSH plans, binary
 # plumbing — the driver records a rows-only check; SURVEY.md §2.10)
 
@@ -679,6 +846,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr": q_corr,
     "distinct_langs": q_distinct_langs,
     "numeric_coercion": q_numeric_coercion,
+    "extract_numbers": q_extract_numbers,
+    "corr_pairs_filter": q_corr_pairs_filter,
+    "union_distinct": q_union_distinct,
+    "date_format_check": q_date_format_check,
+    "range_check": q_range_check,
+    "first_last_event": q_first_last_event,
     # rows-only (non-SQL-expressible)
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
@@ -706,4 +879,10 @@ ORACLE_SQL: dict[str, str] = {
     "corr": _SQL_CORR,
     "distinct_langs": _SQL_DISTINCT_LANGS,
     "numeric_coercion": _SQL_NUMERIC_COERCION,
+    "extract_numbers": _SQL_EXTRACT_NUMBERS,
+    "corr_pairs_filter": _SQL_CORR_PAIRS,
+    "union_distinct": _SQL_UNION_DISTINCT,
+    "date_format_check": _SQL_DATE_FORMAT,
+    "range_check": _SQL_RANGE_CHECK,
+    "first_last_event": _SQL_FIRST_LAST,
 }
