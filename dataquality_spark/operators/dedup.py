@@ -61,15 +61,37 @@ def shingles(text: Column, n: int = 3) -> Column:
                   ).otherwise(F.array(TX.normalize_text(text)))
 
 
-def minhash_band_keys_udf():
-    """pandas UDF: array<string> shingles → array<bigint> LSH band keys.
+import re as _re
 
-    Why a UDF and not higher-order functions: Spark HOFs evaluate
-    interpreted (no codegen), and Catalyst's projection collapse re-inlines
-    the shingle subtree into every one of the 64 permutation expressions —
-    measured 72s for 500 docs. Here the permutations are one vectorized
-    numpy outer product per row (A·h+B mod p, min over shingles), Arrow-
-    batched — the standard Spark minhash shape at web scale.
+_NORM_KEEP = _re.compile(r"[^a-z0-9\s]+")
+_WS = _re.compile(r"\s+")
+
+
+def shingles_py(text: str | None, n: int = 3) -> list[str]:
+    """Distinct word n-gram shingles of normalized text — Python mirror of
+    the JVM ``shingles()`` spec (lower → keep alnum+space → ws collapse)."""
+    if text is None:
+        return []
+    t = _WS.sub(" ", _NORM_KEEP.sub("", text.lower())).strip()
+    if not t:
+        return []
+    ws = t.split(" ")
+    if len(ws) < n:
+        return [t]
+    seen = dict.fromkeys(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+    return list(seen)
+
+
+def shingle_bands_udf(shingle_n: int = 3):
+    """pandas UDF: text → struct(sh array<string>, bands array<bigint>).
+
+    Shingling AND minhash both live here. Why not JVM expressions: Spark
+    HOFs evaluate interpreted (no codegen) and projection collapse re-inlines
+    the words-split subtree into every slice iteration (O(words²)/doc —
+    measured 72s/500 docs for the signature layer alone, 28s/5000 docs for
+    shingling). Here shingles are one C-regex pass and the 64 permutations
+    one vectorized numpy outer product per row, Arrow-batched — the standard
+    Spark minhash shape at web scale.
     """
     from zlib import crc32
 
@@ -79,12 +101,14 @@ def minhash_band_keys_udf():
     K = np.int64(1_000_003)
     P = np.int64(_MERSENNE)
 
-    @F.pandas_udf("array<long>")
-    def bands(shingles_s: pd.Series) -> pd.Series:
-        out = []
-        for sh in shingles_s:
-            if sh is None or len(sh) == 0:
-                out.append(None)
+    @F.pandas_udf("struct<sh: array<string>, bands: array<long>>")
+    def bands(text_s: pd.Series) -> pd.DataFrame:
+        shs, keys_out = [], []
+        for t in text_s:
+            sh = shingles_py(t, shingle_n)
+            if not sh:
+                shs.append(None)
+                keys_out.append(None)
                 continue
             h = np.array([crc32(s.encode("utf-8")) for s in sh],
                          dtype=np.int64)[None, :] % P
@@ -93,10 +117,12 @@ def minhash_band_keys_udf():
             keys = np.arange(1, LSH_BANDS + 1, dtype=np.int64)
             for r in range(LSH_ROWS):
                 keys = (keys * K + bsig[:, r]) % P
-            out.append(keys.tolist())
-        return pd.Series(out, dtype=object)
+            shs.append(sh)
+            keys_out.append(keys.tolist())
+        return pd.DataFrame({"sh": pd.Series(shs, dtype=object),
+                             "bands": pd.Series(keys_out, dtype=object)})
 
-    return bands
+    return bands.asNondeterministic()
 
 
 def exact_dedup_winners(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "url"),
@@ -157,15 +183,16 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
     """
     from pyspark import StorageLevel
 
+    udf = shingle_bands_udf(shingle_n)
     base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
-    ).where(F.size("_sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
-    bands_udf = minhash_band_keys_udf()
+        F.col(id_col).alias("_id"), udf(F.col(text_col)).alias("_sb")
+    ).select(
+        "_id", F.col("_sb.sh").alias("_sh"), F.col("_sb.bands").alias("_bands")
+    ).where(F.col("_sh").isNotNull() & (F.size("_sh") > 0)) \
+     .persist(StorageLevel.MEMORY_AND_DISK)
     # candidate generation joins on (bucket, id) ONLY — the shingle arrays
     # never enter the bucket-join shuffle; they re-attach for the verify step
-    buckets = base.select(
-        "_id", F.explode(bands_udf(F.col("_sh"))).alias("_bucket"))
+    buckets = base.select("_id", F.explode("_bands").alias("_bucket"))
     a = buckets.select(F.col("_id").alias("id_a"), "_bucket")
     b = buckets.select(F.col("_id").alias("id_b"), "_bucket")
     cand = (
