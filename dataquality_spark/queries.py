@@ -161,7 +161,7 @@ WITH g AS (
   FROM documents GROUP BY 1
 )
 SELECT count(*) AS n_groups,
-       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_rows,
+       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::bigint AS dup_rows,
        round(1.0 - sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
              / sum(cnt)::double, 6) AS score
 FROM g
@@ -251,7 +251,7 @@ SELECT e.event_type,
        round(any_value(q.q1), 6) AS q1,
        round(any_value(q.q3), 6) AS q3,
        sum((e.value < q.q1 - 1.5 * (q.q3 - q.q1)
-            OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))::int) AS outliers,
+            OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))::int)::bigint AS outliers,
        round(1.0 - avg((e.value < q.q1 - 1.5 * (q.q3 - q.q1)
             OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))::int), 6) AS score
 FROM events e JOIN q ON e.event_type = q.event_type
@@ -305,7 +305,7 @@ def q_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CHRONOLOGY = """
 SELECT count(*) AS n_lineitems,
        sum((l.l_shipdate < o.o_orderdate AND l.l_shipdate IS NOT NULL
-            AND o.o_orderdate IS NOT NULL)::int) AS violations,
+            AND o.o_orderdate IS NOT NULL)::int)::bigint AS violations,
        round(1.0 - avg((l.l_shipdate < o.o_orderdate
             AND l.l_shipdate IS NOT NULL
             AND o.o_orderdate IS NOT NULL)::int), 6) AS score
@@ -340,7 +340,7 @@ WITH per_order AS (
 )
 SELECT count(*) AS n_orders,
        sum((p.recomputed IS NULL
-            OR abs(p.recomputed - o.o_totalprice) > 0.01)::int) AS mismatches,
+            OR abs(p.recomputed - o.o_totalprice) > 0.01)::int)::bigint AS mismatches,
        round(1.0 - avg((p.recomputed IS NULL
             OR abs(p.recomputed - o.o_totalprice) > 0.01)::int), 6) AS score
 FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
@@ -601,9 +601,9 @@ def q_numeric_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NUMERIC_COERCION = """
 SELECT count(*) AS n_rows,
        sum((try_cast(nullif(regexp_extract(props, '(\\d+)', 1), '')
-            AS bigint) IS NOT NULL)::int) AS n_numeric,
+            AS bigint) IS NOT NULL)::int)::bigint AS n_numeric,
        sum((try_cast(nullif(regexp_extract(props, '(\\d+)', 1), '')
-            AS bigint) IS NULL AND props IS NOT NULL)::int) AS n_non_numeric,
+            AS bigint) IS NULL AND props IS NOT NULL)::int)::bigint AS n_non_numeric,
        round(avg(try_cast(nullif(regexp_extract(props, '(\\d+)', 1), '')
             AS bigint)), 4) AS avg_extracted
 FROM events
@@ -632,7 +632,7 @@ WITH x AS (
                                        v -> v::bigint), 'sum') AS num_sum
   FROM events
 )
-SELECT n_nums, count(*) AS n_rows, sum(num_sum) AS total
+SELECT n_nums, count(*) AS n_rows, sum(num_sum)::bigint AS total
 FROM x GROUP BY n_nums
 """
 
@@ -725,8 +725,8 @@ WITH m AS (
   FROM orders
 )
 SELECT count(*) AS n_rows,
-       sum((try_cast(s AS timestamp) IS NOT NULL)::int) AS n_valid,
-       sum((try_cast(s AS timestamp) IS NULL)::int) AS n_invalid
+       sum((try_cast(s AS timestamp) IS NOT NULL)::int)::bigint AS n_valid,
+       sum((try_cast(s AS timestamp) IS NULL)::int)::bigint AS n_invalid
 FROM m
 """
 
@@ -745,7 +745,7 @@ def q_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_RANGE_CHECK = """
 SELECT p_brand, count(*) AS n,
-       sum((p_size NOT BETWEEN 5 AND 45)::int) AS out_of_range,
+       sum((p_size NOT BETWEEN 5 AND 45)::int)::bigint AS out_of_range,
        round(avg((p_size BETWEEN 5 AND 45)::int), 6) AS score
 FROM part GROUP BY 1
 """

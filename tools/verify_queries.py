@@ -1,7 +1,10 @@
 """Local mirror of the driver's correctness gate: run each queries() entry on
 Spark and its oracle_sql() on DuckDB over the same sf dir, compare row count,
-column-name set, and an order-insensitive value multiset (columns sorted by
-name, floats normalized). Usage:
+column-name set, per-column canonical TYPE (the driver's value hash is
+type-sensitive: DuckDB HUGEINT/DECIMAL sums hash differently from Spark
+BIGINT even when the Python values are equal — round-1 lesson), and an
+order-insensitive value multiset (columns sorted by name, floats normalized).
+Usage:
 
     python tools/verify_queries.py [sf_dir] [query ...]
 """
@@ -44,6 +47,53 @@ def canon(rows, cols):
     return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
 
 
+# Canonical type classes. int32 vs int64 is tolerated (driver r1 evidence:
+# heuristic_gate passed with Spark INT vs DuckDB BIGINT), but HUGEINT and
+# DECIMAL are NOT ints — they surface as float64/object in pandas and break
+# the driver's value hash.
+def spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    return dt.simpleString()
+
+
+def duck_type_class(tname: str) -> str:
+    t = tname.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if t == "HUGEINT" or t.startswith("DECIMAL") or t == "NUMBER":
+        return "decimal"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "str"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP") or t == "DATETIME":
+        return "ts"
+    if t.endswith("[]") or t.startswith("LIST"):
+        return "list"
+    return t
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -74,6 +124,8 @@ def main():
             print(f"ok   {name}: rows-only, {len(s_rows)} rows")
             continue
         try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            d_type_by_col = {r[0]: r[1] for r in desc}
             res = con.execute(sql)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
@@ -86,6 +138,14 @@ def main():
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            s_tc = {f.name: spark_type_class(f.dataType) for f in sdf.schema}
+            d_tc = {c: duck_type_class(str(d_type_by_col.get(c, "?")))
+                    for c in d_cols}
+            tdiff = [(c, s_tc[c], d_tc[c]) for c in sorted(s_tc)
+                     if s_tc[c] != d_tc[c]]
+            if tdiff:
+                problems.append(f"type mismatch (driver hash-sensitive): {tdiff}")
         if not problems:
             a, b = canon(s_rows, s_cols), canon(d_rows, d_cols)
             if a != b:
