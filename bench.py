@@ -56,7 +56,8 @@ def bench_pipeline(spark, pages_path: str, n_rows: int) -> dict:
     out = "/tmp/dq_bench_decisions"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
-    ann = pipeline.run_pipeline(spark, pages)
+    cleanup = []
+    ann = pipeline.run_pipeline(spark, pages, cleanup=cleanup)
     dec = pipeline.decisions_table(ann)
     dec.write.mode("overwrite").parquet(out)
     # metrics from the materialized decisions — avoids re-running the
@@ -64,7 +65,8 @@ def bench_pipeline(spark, pages_path: str, n_rows: int) -> dict:
     metrics = pipeline.metrics_from_decisions(
         spark.read.parquet(out)).collect()
     dt = time.time() - t0
-    ann.unpersist()
+    for f in cleanup:
+        f.unpersist()
     kept = {r.rule_id: r.pass_count for r in metrics}.get("dedup", 0)
     log(f"pipeline: {dt:.1f}s, {n_rows / dt:.0f} docs/s, kept={kept}")
     return {"sec": dt, "docs_per_sec": n_rows / dt, "rows": n_rows}
@@ -96,9 +98,11 @@ def main():
     # warm up JVM/codegen/python workers on a small slice
     warm = ensure_pages(spark, 5000, seed=7)
     from dataquality_spark import pipeline as P
-    ann = P.run_pipeline(spark, spark.read.parquet(warm))
+    cleanup = []
+    ann = P.run_pipeline(spark, spark.read.parquet(warm), cleanup=cleanup)
     ann.where("keep").count()
-    ann.unpersist()
+    for f in cleanup:
+        f.unpersist()
 
     pipe = bench_pipeline(spark, pages_path, n_pages)
 

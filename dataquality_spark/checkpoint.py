@@ -4,16 +4,27 @@ The north rule requires exact resume after executor/driver loss. Design
 (SURVEY.md §4.3(3)):
 
   * The input is split into ``n_chunks`` logical partitions by
-    ``pmod(xxhash64(normalized_text), n_chunks)`` — the CONTENT hash, not the
-    url, so every exact-duplicate group lives entirely inside one chunk and
-    per-chunk dedup is exactly equal to global dedup. Resume therefore yields
-    a byte-identical decisions table (tested in tests/test_checkpoint.py).
-  * Each chunk writes its decisions to its own directory, then commits a
-    state file atomically (tmp + rename). A crash between write and commit
-    re-runs that chunk idempotently (same deterministic output, overwrite).
+    ``pmod(xxhash64(text), n_chunks)`` — the RAW-text content hash (the same
+    key ``content_hash()`` uses for the pipeline's exact dedup; NOT the
+    normalized text), so every exact-duplicate group lives entirely inside
+    one chunk and per-chunk dedup is exactly equal to global dedup. Resume
+    therefore yields a byte-identical decisions table
+    (tested in tests/test_checkpoint.py).
+  * All incomplete chunks are processed in ONE pass over the input: filter to
+    the todo-chunk set, run the pipeline once, and write every chunk's
+    decisions in a single ``partitionBy(chunk)`` dynamic-overwrite write.
+    (The round-1 design re-filtered the full input once per chunk — the chunk
+    key is a content hash, so no partition pruning is possible and n_chunks
+    full scans become n_chunks × input-size read amplification at 100 TB.)
+  * Per-chunk state files still commit atomically (tmp + rename), AFTER the
+    partitioned write succeeds. A crash inside the write re-runs all still-
+    incomplete chunks idempotently (dynamic partition overwrite replaces only
+    their directories; completed chunks' data and state are untouched).
   * The state file carries the chunk's lineage: input row count, keep count,
     per-rule pass counts — the `lineage(partition_id, …, checkpoint_state)`
-    table of SURVEY.md §1.4.
+    table of SURVEY.md §1.4. Lineage is computed from the just-written
+    decisions parquet (column-pruned scan; rules/keep only, never
+    scrubbed_text), not by re-running the dedup join.
 """
 
 from __future__ import annotations
@@ -41,7 +52,7 @@ def _state_path(out_dir: str, i: int) -> str:
 def run_checkpointed(spark: SparkSession, pages: DataFrame, out_dir: str,
                      n_chunks: int = 8, max_chunks: int | None = None,
                      salt_buckets: int = 64) -> dict:
-    """Process all incomplete chunks; returns run summary.
+    """Process all incomplete chunks in one input pass; returns run summary.
 
     ``max_chunks`` limits how many (incomplete) chunks to process this call —
     the kill/resume test uses it to simulate a mid-run crash.
@@ -51,31 +62,73 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, out_dir: str,
     todo = [i for i in range(n_chunks) if i not in done]
     if max_chunks is not None:
         todo = todo[:max_chunks]
+    if not todo:
+        return {"processed": [], "completed": sorted(done)}
+
+    subset = (pages.withColumn("chunk", _chunk_col(n_chunks))
+              .where(F.col("chunk").isin(todo)))
+    cleanup: list[DataFrame] = []
+    ann = P.run_pipeline(spark, subset, salt_buckets=salt_buckets,
+                         cleanup=cleanup)
+    data_dir = os.path.join(out_dir, "data")
+    # One job writes every todo chunk; dynamic mode replaces only the chunk=i
+    # directories present in this write, leaving completed chunks intact.
+    (P.decisions_table(ann, extra_cols=("chunk",))
+     .write.partitionBy("chunk")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite").parquet(data_dir))
+    for frame in cleanup:
+        frame.unpersist()
+
+    # Lineage from the written decisions: rules map + keep flag only — the
+    # parquet reader prunes scrubbed_text, so this is a cheap second scan of
+    # the OUTPUT, not the input.
+    written = spark.read.parquet(data_dir).where(F.col("chunk").isin(todo))
+    counts = {r["chunk"]: r for r in
+              written.groupBy("chunk")
+              .agg(F.count(F.lit(1)).alias("rows_in"),
+                   F.sum(F.col("keep").cast("long")).alias("rows_kept"))
+              .collect()}
+    per_rule = (written
+                .select("chunk", F.explode("rules").alias("rule_id", "passed"))
+                .groupBy("chunk", "rule_id")
+                .agg(F.count(F.when(F.col("passed"), 1)).alias("pass_count"),
+                     F.count(F.when(~F.col("passed"), 1)).alias("fail_count"))
+                .withColumn(
+                    "score",
+                    F.when((F.col("pass_count") + F.col("fail_count")) > 0,
+                           F.round(F.col("pass_count")
+                                   / (F.col("pass_count")
+                                      + F.col("fail_count")), 6)))
+                .collect())
+    metrics_by_chunk: dict[int, list[dict]] = {i: [] for i in todo}
+    for r in per_rule:
+        metrics_by_chunk[r["chunk"]].append({
+            "rule_id": r["rule_id"],
+            "pass_count": r["pass_count"],
+            "fail_count": r["fail_count"],
+            "score": r["score"],
+        })
+
     processed = []
     for i in todo:
-        chunk = pages.where(_chunk_col(n_chunks) == i)
-        ann = P.run_pipeline(spark, chunk, salt_buckets=salt_buckets)
-        dec = P.decisions_table(ann)
-        data_dir = os.path.join(out_dir, "data", f"chunk={i}")
-        dec.write.mode("overwrite").parquet(data_dir)
-        metrics = [r.asDict() for r in P.pipeline_metrics(ann).collect()]
-        n_in = ann.count()
-        n_keep = ann.where("keep").count()
-        ann.unpersist()
+        c = counts.get(i)
         state = {
             "chunk": i,
             "n_chunks": n_chunks,
-            "rows_in": n_in,
-            "rows_kept": n_keep,
-            "rule_metrics": metrics,
-            "data_dir": data_dir,
+            "rows_in": c["rows_in"] if c else 0,
+            "rows_kept": c["rows_kept"] if c else 0,
+            "rule_metrics": sorted(metrics_by_chunk[i],
+                                   key=lambda m: m["rule_id"]),
+            "data_dir": os.path.join(data_dir, f"chunk={i}"),
         }
         tmp = _state_path(out_dir, i) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(state, f)
         os.replace(tmp, _state_path(out_dir, i))  # atomic commit
         processed.append(i)
-    return {"processed": processed, "completed": sorted(completed_chunks(out_dir))}
+    return {"processed": processed,
+            "completed": sorted(completed_chunks(out_dir))}
 
 
 def completed_chunks(out_dir: str) -> set[int]:

@@ -42,7 +42,8 @@ def get_artifacts() -> dict:
 
 def run_pipeline(spark: SparkSession, pages: DataFrame,
                  with_dedup: bool = True, salt_buckets: int = 64,
-                 persist: bool = True) -> DataFrame:
+                 persist: bool = True,
+                 cleanup: list[DataFrame] | None = None) -> DataFrame:
     """pages → annotated frame with all rule flags, keep, scrubbed_text.
 
     ``keep`` = every heuristic + model rule passes AND the row is its exact-dup
@@ -54,6 +55,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     Arrow UDF stage would run twice. ``content_hash`` is null for rows that
     fail the upstream gate, so blank/degenerate texts never form dedup groups
     and never skew the shuffle.
+
+    The persisted frame is INTERNAL (pre-join), not the returned frame, so
+    callers can't unpersist it directly. Pass ``cleanup`` (a list); every
+    frame this call persists is appended to it, and the caller unpersists
+    after its terminal action — otherwise each invocation pins one
+    MEMORY_AND_DISK cache for the session's lifetime.
     """
     from dataquality_spark.functions import text as TX
     from dataquality_spark.operators.dedup import exact_dedup_winners
@@ -85,6 +92,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     if persist:
         from pyspark import StorageLevel
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if cleanup is not None:
+            cleanup.append(df)
     winners = exact_dedup_winners(
         df.where("pre_dedup_pass"), text_col="text", salt_buckets=salt_buckets,
         precomputed_hash="content_hash",
@@ -106,10 +115,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     )
 
 
-def decisions_table(annotated: DataFrame) -> DataFrame:
+def decisions_table(annotated: DataFrame,
+                    extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Project the SURVEY.md §1.4 decisions schema:
     decisions(url, keep, rules map<string,boolean>, scores map<string,double>,
-    scrubbed_text)."""
+    scrubbed_text[, *extra_cols]). ``extra_cols`` lets the checkpoint path
+    carry its chunk key through to a partitioned write."""
     rule_entries = []
     for r in PIPELINE_RULES:
         rule_entries += [F.lit(r), F.col(f"r_{r}")]
@@ -125,6 +136,7 @@ def decisions_table(annotated: DataFrame) -> DataFrame:
         F.create_map(*rule_entries).alias("rules"),
         F.create_map(*score_entries).alias("scores"),
         "scrubbed_text",
+        *extra_cols,
     )
 
 

@@ -65,8 +65,34 @@ def test_chunking_matches_global_dedup(spark, artifacts, tmp_path):
     run_checkpointed(spark, pages, out, n_chunks=3)
     chunked = _decisions_pdf(spark, out)
 
-    ann = pipeline.run_pipeline(spark, pages)
+    cleanup = []
+    ann = pipeline.run_pipeline(spark, pages, cleanup=cleanup)
     direct = (ann.select("url", "keep").toPandas()
               .sort_values("url").reset_index(drop=True))
-    ann.unpersist()
+    for f in cleanup:
+        f.unpersist()
     assert (chunked["keep"].to_numpy() == direct["keep"].to_numpy()).all()
+
+
+def test_single_input_pass_and_no_cache_leak(spark, artifacts, tmp_path,
+                                             monkeypatch):
+    """The multi-chunk path must (a) invoke the pipeline exactly once — one
+    input scan regardless of n_chunks (round-1 re-filtered per chunk: n full
+    scans) — and (b) unpersist everything it persisted."""
+    pages = generate_pages(spark, 400, seed=11, partitions=4)
+    calls = []
+    real = pipeline.run_pipeline
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    import dataquality_spark.checkpoint as CP
+    monkeypatch.setattr(CP.P, "run_pipeline", counting)
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    out = str(tmp_path / "once")
+    r = run_checkpointed(spark, pages, out, n_chunks=4)
+    assert r["completed"] == [0, 1, 2, 3]
+    assert len(calls) == 1
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) <= len(before)

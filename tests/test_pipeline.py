@@ -13,13 +13,15 @@ N = 2500
 @pytest.fixture(scope="module")
 def run(spark, artifacts):
     pages = generate_pages(spark, N, seed=42, partitions=8)
-    ann = pipeline.run_pipeline(spark, pages)
+    cleanup = []
+    ann = pipeline.run_pipeline(spark, pages, cleanup=cleanup)
     sp = (ann.select("url", "keep", "pre_dedup_pass", "scrubbed_text")
           .toPandas().sort_values("url").reset_index(drop=True))
     raw = pages.toPandas().sort_values("url").reset_index(drop=True)
     lab = oracle.full_labels(raw, artifacts["langid"], artifacts["lm"])
     met = pipeline.pipeline_metrics(ann).toPandas()
-    ann.unpersist()
+    for f in cleanup:
+        f.unpersist()
     return sp, lab, met
 
 
@@ -54,7 +56,8 @@ def test_metrics_cover_all_rules(run):
 
 def test_decisions_schema(spark, artifacts):
     pages = generate_pages(spark, 200, seed=7, partitions=4)
-    ann = pipeline.run_pipeline(spark, pages)
+    cleanup = []
+    ann = pipeline.run_pipeline(spark, pages, cleanup=cleanup)
     dec = pipeline.decisions_table(ann)
     fields = dict(dec.dtypes)
     assert fields["keep"] == "boolean"
@@ -64,4 +67,5 @@ def test_decisions_schema(spark, artifacts):
     rows = dec.limit(5).collect()
     assert all(set(r["rules"].keys()) == set(pipeline.PIPELINE_RULES)
                for r in rows)
-    ann.unpersist()
+    for f in cleanup:
+        f.unpersist()
