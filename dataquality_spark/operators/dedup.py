@@ -15,9 +15,10 @@ and C1 near-dup similarity (`dimensions/consistency/c1.py:39-141`) as
 MinHash-banded LSH blocking + verified Jaccard — never an O(n²) cross join
 (SURVEY.md J-2).
 
-Everything here is native DataFrame expressions — the MinHash signatures are
-computed with higher-order functions (`transform`/`array_min`) over
-`xxhash64`, entirely inside whole-stage codegen.
+The exact-dedup path is native DataFrame expressions end-to-end. MinHash and
+SimHash signatures are Arrow-batched numpy UDFs (see ``shingle_bands_udf``
+for the measured reason Spark HOFs lose here); candidate generation and
+verification around them stay JVM-side.
 """
 
 from __future__ import annotations
@@ -51,16 +52,6 @@ def _perm_params(k: int = MINHASH_PERMS) -> list[tuple[int, int]]:
     return out
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text (array<string>)."""
-    words = F.split(TX.normalize_text(text), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    return F.when(F.size(words) >= n,
-                  F.array_distinct(F.transform(
-                      idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
-                  ).otherwise(F.array(TX.normalize_text(text)))
-
-
 import re as _re
 
 _NORM_KEEP = _re.compile(r"[^a-z0-9\s]+")
@@ -68,8 +59,14 @@ _WS = _re.compile(r"\s+")
 
 
 def shingles_py(text: str | None, n: int = 3) -> list[str]:
-    """Distinct word n-gram shingles of normalized text — Python mirror of
-    the JVM ``shingles()`` spec (lower → keep alnum+space → ws collapse)."""
+    """Distinct word n-gram shingles of normalized text, order-preserving.
+
+    THE canonical shingling spec for MinHash and SimHash: lower → keep
+    alnum+space → collapse whitespace. Deliberately does NOT strip short
+    digit runs — unlike ``TX.normalize_text`` (the exact-dedup key chain,
+    which applies the reference's X-2 ``remove_short_numbers``): near-dup
+    candidates must still distinguish "chapter 12" from "chapter 13";
+    the C1 rescue handles the number semantics downstream."""
     if text is None:
         return []
     t = _WS.sub(" ", _NORM_KEEP.sub("", text.lower())).strip()
@@ -173,13 +170,25 @@ def with_dedup_flag(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "url")
 
 def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
                    jaccard_threshold: float = spec.NEAR_DUP_SIMILARITY,
-                   shingle_n: int = 3) -> DataFrame:
+                   shingle_n: int = 3,
+                   max_bucket_size: int | None = 200,
+                   skew_metrics: dict | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-banded LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
     Plan shape: explode band keys → self-join on (band, key) → distinct pairs
     → exact verify. The join is equi-join on bucket keys (shuffle hash / AQE);
     no cross join ever materializes (SURVEY.md J-2 requirement).
+
+    Hot-bucket cap: a band bucket with m members emits O(m²) candidate pairs
+    into the self-join — one viral boilerplate page at web scale pins the
+    whole join. Buckets with more than ``max_bucket_size`` members are
+    DROPPED before the join (standard banded-LSH practice; each pair has
+    LSH_BANDS more chances to collide in a non-hot band, and mega-groups of
+    EXACT duplicates are the salted exact-dedup stage's job, not LSH's).
+    The blocklist of hot buckets is tiny by construction and broadcast
+    (map-side anti-join — no extra shuffle on the candidate path).
+    ``skew_metrics``: pass a dict to receive {"hot_buckets": n} eagerly.
     """
     from pyspark import StorageLevel
 
@@ -193,6 +202,14 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
     # candidate generation joins on (bucket, id) ONLY — the shingle arrays
     # never enter the bucket-join shuffle; they re-attach for the verify step
     buckets = base.select("_id", F.explode("_bands").alias("_bucket"))
+    if max_bucket_size is not None:
+        hot = (buckets.groupBy("_bucket")
+               .agg(F.count(F.lit(1)).alias("_bn"))
+               .where(F.col("_bn") > max_bucket_size)
+               .select("_bucket"))
+        if skew_metrics is not None:
+            skew_metrics["hot_buckets"] = hot.count()
+        buckets = buckets.join(F.broadcast(hot), "_bucket", "left_anti")
     a = buckets.select(F.col("_id").alias("id_a"), "_bucket")
     b = buckets.select(F.col("_id").alias("id_b"), "_bucket")
     cand = (
@@ -216,30 +233,61 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
     )
 
 
-def simhash64(text: Column, shingle_n: int = 2) -> Column:
-    """64-bit SimHash of word shingles — native bit arithmetic.
+def simhash64_py(sh: list[str]) -> int:
+    """Scalar SimHash (Charikar 2002) over shingles — the testable spec:
+    for each bit j, sum ±1 over the shingles' 64-bit hashes' bit j; bit j of
+    the result is 1 iff the sum is positive. Hash = mix64(crc32(shingle)) —
+    deterministic, 64-bit-diffused. Returns a SIGNED 64-bit int (Spark
+    ``long`` wrap-around)."""
+    from zlib import crc32
 
-    For each bit position j, sum ±1 over shingle hashes' bit j; bit j of the
-    result is 1 iff the sum is positive. Expressed with aggregate() over the
-    shingle-hash array, packing counts via shiftright/bitwise ops.
+    from dataquality_spark.models.corpus import mix64
+
+    if not sh:
+        return 0
+    votes = [0] * 64
+    for s in sh:
+        h = int(mix64(crc32(s.encode("utf-8"))))
+        for j in range(64):
+            votes[j] += 1 if (h >> j) & 1 else -1
+    v = 0
+    for j in range(64):
+        if votes[j] > 0:
+            v |= 1 << j
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_udf(shingle_n: int = 2):
+    """pandas UDF: text → 64-bit SimHash (long).
+
+    Replaces the round-1 JVM formulation (nested ``aggregate`` over 64 bit
+    masks × shingle hashes — interpreted CodegenFallback, O(64·|shingles|)
+    re-evaluated per row; measured >300s for 5k docs). Here: one C-regex
+    shingling pass + one numpy bit-matrix reduction per row, Arrow-batched —
+    the same shape as the minhash UDF and sharing its ``shingles_py``
+    tokenizer. Byte-equal to ``simhash64_py`` (pytest oracle).
     """
-    hashes = F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
-    # one nested expression over bit masks (see minhash_signature for why
-    # not 64 separate aggregate columns); bit-test via AND with a literal
-    # power-of-two array — shiftleft/shiftright need Python-int bit counts
-    signed_pows = [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
-    pow_arr = F.array(*[F.lit(p).cast("long") for p in signed_pows])
-    return F.aggregate(
-        pow_arr,
-        F.lit(0).cast("long"),
-        lambda out, mask: out.bitwiseOR(
-            F.when(
-                F.aggregate(
-                    hashes, F.lit(0).cast("long"),
-                    lambda acc, h: acc
-                    + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-                ) > 0,
-                mask,
-            ).otherwise(F.lit(0).cast("long"))
-        ),
-    )
+    from zlib import crc32
+
+    from dataquality_spark.models.corpus import mix64
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sim(text_s: pd.Series) -> pd.Series:
+        out = np.zeros(len(text_s), dtype=np.int64)
+        for i, t in enumerate(text_s):
+            sh = shingles_py(t, shingle_n)
+            if not sh:
+                continue
+            h = np.array([mix64(crc32(s.encode("utf-8"))) for s in sh],
+                         dtype=np.uint64)
+            bits = ((h[:, None] >> bit_idx) & 1).astype(np.int64)
+            votes = 2 * bits.sum(axis=0) - len(sh)
+            v = np.uint64(0)
+            for j in np.nonzero(votes > 0)[0]:
+                v |= np.uint64(1) << np.uint64(j)
+            out[i] = v.astype(np.int64)
+        return pd.Series(out)
+
+    return sim

@@ -778,6 +778,246 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 
 
 # ---------------------------------------------------------------------------
+# Q25 — C1 near-dup best match with numeric-token rescue, composed end-to-end
+# (J-5/X-8; reference `dimensions/consistency/c1.py:93-141`). The corpus is
+# built deterministically from `nation`: per nation a base name + short
+# number, a typo twin with the SAME number (must be rescued), a same-name row
+# with a DIFFERENT short number (must be dropped by the rescue), and a
+# long-number row (not "short" → scored by the gate sim). Uses the operator's
+# `lev` rescue mode — SQL-mirrorable; the difflib-exact mode is pytest-gated
+# byte-for-byte (tests/test_c1.py).
+
+_C1_T = 0.55
+
+
+def q_c1_neardup_rescue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.c1 import (c1_best_match,
+                                                normalize_keep_numbers)
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("long")
+    name = F.lower(F.col("n_name"))
+    typo = F.expr("substring(lower(n_name), 1, length(n_name) - 1)")
+    base = nat.select(F.explode(F.array(
+        F.struct((k * 4).alias("id"),
+                 F.concat_ws(" ", name, (k + 1).cast("string")).alias("text")),
+        F.struct((k * 4 + 1).alias("id"),
+                 F.concat_ws(" ", typo, (k + 1).cast("string")).alias("text")),
+        F.struct((k * 4 + 2).alias("id"),
+                 F.concat_ws(" ", name, (k + 51).cast("string")).alias("text")),
+        F.struct((k * 4 + 3).alias("id"),
+                 F.concat_ws(" ", name,
+                             (k + 100000).cast("string")).alias("text")),
+    )).alias("v")).select("v.id", "v.text")
+    norm = base.select("id", normalize_keep_numbers(F.col("text")).alias("n"))
+    a = norm.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    b = norm.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    sim = TX.levenshtein_ratio(F.col("na"), F.col("nb"))
+    cand = (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("sim"))
+            .where(F.col("sim") >= _C1_T))
+    return c1_best_match(base, id_col="id", text_col="text",
+                         threshold=_C1_T, candidates=cand,
+                         rescue_score="lev")
+
+
+_SQL_C1_RESCUE = f"""
+WITH base AS (
+  SELECT n_nationkey::bigint * 4 AS id,
+         lower(n_name) || ' ' || (n_nationkey + 1)::varchar AS text FROM nation
+  UNION ALL
+  SELECT n_nationkey::bigint * 4 + 1,
+         substr(lower(n_name), 1, length(n_name) - 1)
+           || ' ' || (n_nationkey + 1)::varchar FROM nation
+  UNION ALL
+  SELECT n_nationkey::bigint * 4 + 2,
+         lower(n_name) || ' ' || (n_nationkey + 51)::varchar FROM nation
+  UNION ALL
+  SELECT n_nationkey::bigint * 4 + 3,
+         lower(n_name) || ' ' || (n_nationkey + 100000)::varchar FROM nation
+), norm AS (
+  SELECT id, trim(regexp_replace(regexp_replace(lower(trim(text)),
+             '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS n
+  FROM base
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb,
+         1.0 - levenshtein(a.n, b.n)::double
+             / greatest(len(a.n), len(b.n)) AS sim
+  FROM norm a JOIN norm b ON a.id <> b.id
+  WHERE 1.0 - levenshtein(a.n, b.n)::double
+        / greatest(len(a.n), len(b.n)) >= {_C1_T}
+), resc AS (
+  SELECT id_a, id_b, sim,
+         regexp_extract_all(na, '\\d+') AS nums_a,
+         regexp_extract_all(nb, '\\d+') AS nums_b,
+         regexp_replace(na, '\\b\\d{{1,4}}\\b', '', 'g') AS sa,
+         regexp_replace(nb, '\\b\\d{{1,4}}\\b', '', 'g') AS sb
+  FROM cand
+), scored AS (
+  SELECT id_a, id_b,
+         CASE WHEN len(list_filter(nums_a, x -> len(x) <= 4)) > 0
+                OR len(list_filter(nums_b, x -> len(x) <= 4)) > 0
+              THEN 1.0 - levenshtein(sa, sb)::double
+                   / greatest(len(sa), len(sb))
+              ELSE sim END AS score,
+         (len(list_filter(nums_a, x -> len(x) <= 4)) = 0
+          AND len(list_filter(nums_b, x -> len(x) <= 4)) = 0)
+           OR len(list_intersect(nums_a, nums_b)) > 0 AS keep_cand
+  FROM resc
+)
+SELECT id_a AS id, id_b AS best_match_id, round(score, 6) AS best_score
+FROM (
+  SELECT id_a, id_b, score,
+         row_number() OVER (PARTITION BY id_a
+                            ORDER BY score DESC, id_b ASC) AS rn
+  FROM scored WHERE keep_cand
+) WHERE rn = 1 AND score > {_C1_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q26 — A2 two-level grouped scoring (G-2 nested semantics, `a2.py:55-67`)
+
+def q_iqr_group_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.functions.stats import iqr_group_score
+    ev = _t(spark, sf_dir, "events")
+    return iqr_group_score(ev, "event_type", "value",
+                           factor=1.5, min_score=0.85)
+
+
+_SQL_IQR_GROUP_SCORE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+), g AS (
+  SELECT e.event_type,
+         1.0 - avg((e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))::int) AS gscore
+  FROM events e JOIN q USING (event_type) GROUP BY 1
+)
+SELECT count(*)::bigint AS n_groups,
+       sum((gscore > 0.85)::int)::bigint AS n_passing,
+       round(avg((gscore > 0.85)::int), 6) AS a2_score
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q27 — P2 association screen end-to-end (`p2.py:37-49`): indicator matrix →
+# pairwise Pearson → fraction above threshold → completeness score. The
+# driver's events table has no physical nulls at sf0.01, so the indicator
+# columns are deterministic predicates (the math over 0/1 indicators is
+# identical to isnull().astype(int)); two are correlated by construction.
+
+_P2_T = 0.5
+
+
+def q_null_assoc_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.functions.stats import association_matrix
+    ev = _t(spark, sf_dir, "events")
+    ind = ev.select(
+        (F.col("value") > 30).cast("int").alias("a"),
+        (F.col("value") > 50).cast("int").alias("b"),
+        (F.col("user_id") % 7 == 0).cast("int").alias("c"),
+        F.col("event_type").isin("click", "view").cast("int").alias("d"),
+    )
+    m = association_matrix(ind, nominal=[], numeric=["a", "b", "c", "d"])
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d")]
+    vals = {f"corr_{x}{y}": round(m[(x, y)], 5) for x, y in pairs}
+    above = sum(1 for x, y in pairs if abs(m[(x, y)]) > _P2_T)
+    row = {**vals, "n_pairs": len(pairs), "n_above": above,
+           "p2_score": round(1.0 - above / len(pairs), 6)}
+    schema = (", ".join(f"{k} double" for k in vals)
+              + ", n_pairs long, n_above long, p2_score double")
+    return spark.createDataFrame([row], schema)
+
+
+_SQL_NULL_ASSOC = f"""
+WITH ind AS (
+  SELECT (value > 30)::int AS a, (value > 50)::int AS b,
+         (user_id % 7 = 0)::int AS c,
+         (event_type IN ('click','view'))::int AS d
+  FROM events
+), c AS (
+  SELECT corr(a, b) AS ab, corr(a, c) AS ac, corr(a, d) AS ad,
+         corr(b, c) AS bc, corr(b, d) AS bd, corr(c, d) AS cd
+  FROM ind
+)
+SELECT round(ab, 5) AS corr_ab, round(ac, 5) AS corr_ac,
+       round(ad, 5) AS corr_ad, round(bc, 5) AS corr_bc,
+       round(bd, 5) AS corr_bd, round(cd, 5) AS corr_cd,
+       6::bigint AS n_pairs,
+       ((abs(ab) > {_P2_T})::int + (abs(ac) > {_P2_T})::int
+        + (abs(ad) > {_P2_T})::int + (abs(bc) > {_P2_T})::int
+        + (abs(bd) > {_P2_T})::int + (abs(cd) > {_P2_T})::int)::bigint
+           AS n_above,
+       round(1.0 - ((abs(ab) > {_P2_T})::int + (abs(ac) > {_P2_T})::int
+        + (abs(ad) > {_P2_T})::int + (abs(bc) > {_P2_T})::int
+        + (abs(bd) > {_P2_T})::int + (abs(cd) > {_P2_T})::int) / 6.0, 6)
+           AS p2_score
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q28 — Cramér's V (bias-corrected) + correlation ratio η as a 1-row frame
+# (G-6's non-Pearson half; dython parity formulas in functions/stats.py)
+
+def q_assoc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.functions.stats import (cramers_v,
+                                                   correlation_ratio)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ubucket", (F.col("user_id") % 5).cast("int"))
+    v = cramers_v(ev, "event_type", "ubucket", bias_correction=True)
+    eta = correlation_ratio(ev, "event_type", "value")
+    return spark.createDataFrame(
+        [{"cramers_v": round(v, 6), "eta": round(eta, 6)}],
+        "cramers_v double, eta double")
+
+
+_SQL_ASSOC_STATS = """
+WITH c AS (
+  SELECT event_type AS a, (user_id % 5) AS b, count(*)::double AS cnt
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT sum(cnt) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS k FROM c
+), rt AS (SELECT a, sum(cnt) AS rn FROM c GROUP BY 1),
+   ct AS (SELECT b, sum(cnt) AS cn FROM c GROUP BY 1),
+chi AS (
+  SELECT sum(pow(c.cnt - rt.rn * ct.cn / tot.n, 2)
+             / (rt.rn * ct.cn / tot.n)) AS chi2
+  FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+), v AS (
+  SELECT CASE
+    WHEN least(tot.k - pow(tot.k - 1, 2) / (tot.n - 1),
+               tot.r - pow(tot.r - 1, 2) / (tot.n - 1)) - 1 <= 0 THEN 0.0
+    ELSE sqrt(greatest(chi.chi2 / tot.n
+                       - (tot.k - 1) * (tot.r - 1) / (tot.n - 1), 0)
+              / (least(tot.k - pow(tot.k - 1, 2) / (tot.n - 1),
+                       tot.r - pow(tot.r - 1, 2) / (tot.n - 1)) - 1))
+    END AS v
+  FROM chi CROSS JOIN tot
+), m AS (
+  SELECT event_type AS g, count(*)::double AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), eta AS (
+  SELECT CASE WHEN sum(ss) - pow(sum(s), 2) / sum(n) <= 0 THEN 0.0
+         ELSE sqrt(greatest(sum(s * s / n) - pow(sum(s), 2) / sum(n), 0)
+                   / (sum(ss) - pow(sum(s), 2) / sum(n))) END AS eta
+  FROM m
+)
+SELECT round(v.v, 6) AS cramers_v, round(eta.eta, 6) AS eta
+FROM v CROSS JOIN eta
+"""
+
+
+# ---------------------------------------------------------------------------
 # rows-only queries (no ANSI-SQL equivalent: model UDFs, LSH plans, binary
 # plumbing — the driver records a rows-only check; SURVEY.md §2.10)
 
@@ -812,10 +1052,10 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: distribution of 16-bit prefix buckets."""
-    from dataquality_spark.operators.dedup import simhash64
+    from dataquality_spark.operators.dedup import simhash_udf
     docs = _t(spark, sf_dir, "documents")
     return (docs.select(F.shiftrightunsigned(
-                simhash64(F.col("text")), 48).alias("bucket"))
+                simhash_udf()(F.col("text")), 48).alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
 
 
@@ -852,6 +1092,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "date_format_check": q_date_format_check,
     "range_check": q_range_check,
     "first_last_event": q_first_last_event,
+    "c1_neardup_rescue": q_c1_neardup_rescue,
+    "iqr_group_score": q_iqr_group_score,
+    "null_assoc_screen": q_null_assoc_screen,
+    "assoc_stats": q_assoc_stats,
     # rows-only (non-SQL-expressible)
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
@@ -885,4 +1129,8 @@ ORACLE_SQL: dict[str, str] = {
     "date_format_check": _SQL_DATE_FORMAT,
     "range_check": _SQL_RANGE_CHECK,
     "first_last_event": _SQL_FIRST_LAST,
+    "c1_neardup_rescue": _SQL_C1_RESCUE,
+    "iqr_group_score": _SQL_IQR_GROUP_SCORE,
+    "null_assoc_screen": _SQL_NULL_ASSOC,
+    "assoc_stats": _SQL_ASSOC_STATS,
 }

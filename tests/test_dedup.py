@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from dataquality_spark import spec
 from dataquality_spark.operators.dedup import (
-    near_dup_pairs, simhash64, with_dedup_flag,
+    near_dup_pairs, simhash64_py, simhash_udf, with_dedup_flag,
 )
 
 BODY = ("the quick brown fox jumps over the lazy dog near the river "
@@ -89,6 +89,33 @@ def test_near_dup_pairs_finds_perturbed(spark):
     assert (pairs["jaccard"] >= spec.NEAR_DUP_SIMILARITY).all()
 
 
+def test_hot_bucket_cap_bounds_candidates(spark):
+    """A pathological duplicate group (one viral page × m copies shares ALL
+    band buckets → O(m²) candidates) must be capped, while recall on normal
+    perturbed pairs is unchanged."""
+    words = BODY.split()
+    variant = " ".join(w.upper() if i == 7 else w for i, w in enumerate(words))
+    viral = "breaking news shared boilerplate body " * 30
+    rows = ([("u_a", "2024-01-01", BODY),
+             ("u_b", "2024-01-02", variant)]
+            + [(f"v{i:03d}", "2024-01-01", viral) for i in range(40)])
+    df = _pages(spark, rows)
+
+    metrics: dict = {}
+    capped = near_dup_pairs(df, max_bucket_size=10,
+                            skew_metrics=metrics).toPandas()
+    got = {tuple(sorted(p)) for p in zip(capped["id_a"], capped["id_b"])}
+    # the perturbed pair survives (its buckets hold 2 members)
+    assert ("u_a", "u_b") in got
+    # the 40-copy viral group's buckets are dropped: none of its O(m²)=780
+    # pairs emitted
+    assert not any(a.startswith("v") for a, b in got)
+    assert metrics["hot_buckets"] > 0
+
+    uncapped = near_dup_pairs(df, max_bucket_size=None).toPandas()
+    assert len(uncapped) == len(got) + 780
+
+
 def test_simhash_close_for_near_dups(spark):
     # SimHash bits stabilize with feature count — use ~300 distinct shingles
     big = " ".join(f"word{i} token{i * 7 % 311}" for i in range(150))
@@ -97,9 +124,26 @@ def test_simhash_close_for_near_dups(spark):
     other = " ".join(f"zzz{i} qqq{i * 3}" for i in range(150))
     df = _pages(spark, [("a", "2024-01-01", big), ("b", "2024-01-01", variant),
                         ("c", "2024-01-01", other)])
-    out = df.select("url", simhash64(F.col("text")).alias("sh")) \
+    out = df.select("url", simhash_udf()(F.col("text")).alias("sh")) \
             .toPandas().set_index("url")["sh"]
     ham_ab = bin(int(out["a"]) ^ int(out["b"])).count("1")
     ham_ac = bin(int(out["a"]) ^ int(out["c"])).count("1")
     assert ham_ab <= 10, ham_ab
     assert ham_ac >= 20, ham_ac
+
+
+def test_simhash_udf_matches_python_oracle(spark):
+    """The vectorized numpy kernel must equal the scalar simhash64_py spec
+    bit-for-bit (incl. sign wrap and empty/None inputs)."""
+    from dataquality_spark.operators.dedup import shingles_py
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a b", "", None, "single",
+        " ".join(f"w{i}" for i in range(200)),
+        "ümlaut schön straße und zahlen 42 99 hier",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["sh"] for r in
+           df.select(simhash_udf()(F.col("text")).alias("sh")).collect()]
+    want = [simhash64_py(shingles_py(t, 2)) for t in texts]
+    assert got == want
