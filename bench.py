@@ -76,6 +76,7 @@ HEADLINE_QUERIES = [
     "heuristic_gate", "token_stats", "iqr_outliers", "topk_per_type",
     "membership_semijoin", "chronology", "rowsum_check",
     "minhash_lsh_neardup", "embedding_knn", "fingerprint",
+    "c1_neardup_rescue", "iqr_group_score", "simhash_buckets",
 ]
 
 

@@ -16,13 +16,13 @@ import os
 import subprocess
 import sys
 
-# N vs 4N on PHYSICAL cores: a pure-CPU microbenchmark on this host shows
-# 32 hardware threads deliver only ~2x the throughput of 8 processes
-# (SMT/shared host — efficiency 0.5 is the HARDWARE ceiling at 8→32), and
-# 4→16 tops out around 0.70-0.81 depending on co-tenant load, while 2→8
-# scales at ~1.0. On a real cluster N→4N adds whole machines; the honest
-# sandbox stand-in scales within physical cores — so we evidence N=2 → 4N=8
-# and report the concurrently-measured host ceiling alongside.
+# N vs 4N window: the host is a 32-core VM (1 thread/core — no SMT), but it
+# is CO-TENANT: a pure-CPU microbenchmark shows 8→32 processes deliver only
+# ~0.7x-per-core (CPU steal), while 2→8 scales at 0.9-1.0 when the box is
+# quiet. On a real cluster N→4N adds whole machines; the honest sandbox
+# stand-in is the window where the host can physically deliver 4x — so we
+# evidence N=2 → 4N=8 and report the CONCURRENTLY-measured host ceiling
+# alongside (single runs on a shared box are meaningless without it).
 LEVELS = [2, 8]
 
 
@@ -115,10 +115,10 @@ per BASELINE.md): same job, same input, fresh JVM per level, best of
 scaling efficiency = ({thr_hi} / {thr_lo}) / {hi // lo} = **{eff:.3f}**
 (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
-Host calibration: a pure-CPU multiprocessing microbenchmark on this host
-scales {lo}→{hi} processes at only **{ceiling:.3f}** efficiency (SMT +
-co-tenancy — perfect 4× is not physically available here). Normalized to
-that hardware ceiling the pipeline reaches
+Host calibration: a pure-CPU multiprocessing microbenchmark run in the same
+session scales {lo}→{hi} processes at **{ceiling:.3f}** efficiency (the host
+is a co-tenant 32-core VM — CPU steal, no SMT). Normalized to that
+concurrently-measured hardware ceiling the pipeline reaches
 **{eff / ceiling:.3f}**. On a real cluster N→4N adds whole machines; this
 sandbox scales within one shared box.
 """)

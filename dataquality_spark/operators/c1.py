@@ -60,6 +60,35 @@ def contains_short_number(nums: Column) -> Column:
     return F.exists(nums, lambda x: F.length(x) <= 4)
 
 
+def numeric_similarity(nums_a: Column, nums_b: Column) -> Column:
+    """Positionwise digit-string match ratio (X-8, reference
+    `column_operations.py:60-66`): join each number list with " ", compare
+    the two strings character-by-character up to the shorter length, divide
+    matches by the longer length; 0 when both are empty.
+
+    Native expressions over SHORT digit strings only (the interpreted
+    ``filter``-over-``sequence`` is fine here: inputs are a handful of
+    digit runs, never document text).
+
+    Reference caveat for parity readers: the reference gates this with
+    ``contains_short_number(numeric_parts)`` over the whole LIST OF LISTS
+    (`table_operations.py:136`), i.e. "any observation extracted ≤4
+    numbers" — almost certainly a bug for "any number has ≤4 digits". We
+    expose the similarity itself and let callers choose the gate.
+    """
+    s1 = F.concat_ws(" ", nums_a)
+    s2 = F.concat_ws(" ", nums_b)
+    l1, l2 = F.length(s1), F.length(s2)
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0], not empty
+    positions = F.when(F.least(l1, l2) > 0,
+                       F.sequence(F.lit(1), F.least(l1, l2))
+                       ).otherwise(F.array().cast("array<int>"))
+    matches = F.size(F.filter(
+        positions, lambda i: s1.substr(i, F.lit(1)) == s2.substr(i, F.lit(1))))
+    return F.when(F.greatest(l1, l2) > 0,
+                  matches / F.greatest(l1, l2)).otherwise(F.lit(0.0))
+
+
 def seq_ratio_udf():
     """difflib.SequenceMatcher.ratio parity scorer (X-5, reference
     `item_operations.py:67-68`) as an Arrow-batched pandas UDF.

@@ -58,33 +58,42 @@ def with_text_stats(df: DataFrame, text_col: str = "text",
     )
 
 
-def rule_flags(text_col: str = "text") -> dict[str, Column]:
-    """Boolean PASS flag per heuristic rule, over the stat columns."""
+def rule_flags(text_col: str = "text",
+               params: dict | None = None) -> dict[str, Column]:
+    """Boolean PASS flag per heuristic rule, over the stat columns.
+
+    ``params``: optional overrides validated against the typed registry in
+    ``dataquality_spark.metadata`` (the reference's create_metadata analogue)
+    — defaults are the ``spec`` constants."""
+    from dataquality_spark.metadata import validate_params
+    p = validate_params(params)
     c = F.col
     return {
         "nonempty": ~TX.is_blank(c(text_col)),
-        "min_words": c("word_cnt") >= spec.MIN_WORDS,
-        "max_words": c("word_cnt") <= spec.MAX_WORDS,
+        "min_words": c("word_cnt") >= p["min_words"],
+        "max_words": c("word_cnt") <= p["max_words"],
         "mean_word_len": c("mean_wlen").isNotNull()
-        & c("mean_wlen").between(spec.MIN_MEAN_WORD_LEN, spec.MAX_MEAN_WORD_LEN),
+        & c("mean_wlen").between(p["min_mean_word_len"],
+                                 p["max_mean_word_len"]),
         "alpha_ratio": c("alpha_frac").isNotNull()
-        & (c("alpha_frac") >= spec.MIN_ALPHA_RATIO),
+        & (c("alpha_frac") >= p["min_alpha_ratio"]),
         "symbol_ratio": c("symbol_frac").isNotNull()
-        & (c("symbol_frac") <= spec.MAX_SYMBOL_RATIO),
+        & (c("symbol_frac") <= p["max_symbol_ratio"]),
         "stopword_ratio": c("stop_frac").isNotNull()
-        & (c("stop_frac") >= spec.MIN_STOPWORD_RATIO)
-        & (c("stop_cnt") >= spec.MIN_STOPWORD_COUNT),
+        & (c("stop_frac") >= p["min_stopword_ratio"])
+        & (c("stop_cnt") >= p["min_stopword_count"]),
         "dup_lines": c("dupline_frac").isNotNull()
-        & (c("dupline_frac") <= spec.MAX_DUP_LINE_FRACTION),
+        & (c("dupline_frac") <= p["max_dup_line_fraction"]),
     }
 
 
 def with_rule_flags(df: DataFrame, text_col: str = "text",
-                    lang_col: str = "lang") -> DataFrame:
+                    lang_col: str = "lang",
+                    params: dict | None = None) -> DataFrame:
     """stats + one ``r_{rule}: boolean`` column per heuristic rule +
     ``heuristic_pass`` conjunction. Single projection, no shuffle."""
     df = with_text_stats(df, text_col, lang_col)
-    flags = rule_flags(text_col)
+    flags = rule_flags(text_col, params)
     for rule_id, flag in flags.items():
         df = df.withColumn(f"r_{rule_id}", flag)
     conj = F.lit(True)

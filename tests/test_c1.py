@@ -124,6 +124,34 @@ def test_rescue_rescores_without_short_numbers(spark_result):
     assert spark_result[7] == (8, 1.0)
 
 
+def test_numeric_similarity_reference_parity(spark):
+    """Positionwise digit match must equal the reference formula
+    (`column_operations.py:60-66`) on every pair, including empty lists and
+    unequal lengths."""
+    from dataquality_spark.operators.c1 import numeric_similarity
+
+    def ref(num1_list, num2_list):
+        num1, num2 = " ".join(num1_list), " ".join(num2_list)
+        matches = sum(1 for a, b in zip(num1, num2) if a == b)
+        max_length = max(len(num1), len(num2))
+        return matches / max_length if max_length > 0 else 0
+
+    cases = [
+        (["12", "345"], ["12", "345"]),
+        (["12", "345"], ["12", "346"]),
+        (["12"], ["123456"]),
+        ([], ["7"]),
+        ([], []),
+        (["999", "1"], ["99", "91"]),
+    ]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in cases], "a array<string>, b array<string>")
+    got = [r["s"] for r in df.select(
+        numeric_similarity(F.col("a"), F.col("b")).alias("s")).collect()]
+    want = [float(ref(a, b)) for a, b in cases]
+    assert got == want
+
+
 def test_seq_ratio_byte_parity(spark):
     """The Arrow UDF must equal difflib.SequenceMatcher.ratio EXACTLY."""
     pairs = [(a, b) for a in CORPUS.values() for b in CORPUS.values()]
