@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1018,8 +1019,57 @@ FROM v CROSS JOIN eta
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (no ANSI-SQL equivalent: model UDFs, LSH plans, binary
-# plumbing — the driver records a rows-only check; SURVEY.md §2.10)
+# Q30/Q31 — multimodal binary plumbing, ORACLE-CHECKED: payloads are built
+# deterministically from doc_id in the fake codec format, run through the
+# real mapInPandas decode / frame-sample operators, and compared against
+# DuckDB computing the expected metadata directly from doc_id. This checks
+# the whole binary round-trip (schema, batch shape, struct unpack, error
+# columns) — only the codec interior is fake (container has no PIL/av).
+
+def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.multimodal import encode_fake_image
+
+    @F.pandas_udf("binary")
+    def mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_fake_image(
+            int(i) % 640 + 16, int(i) % 480 + 16, int(i) % 3 + 1,
+            payload_len=64 + (int(i) % 5) * 64))
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mk(F.col("doc_id")).alias("payload"))
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.multimodal import decode_media
+    dec = decode_media(_fake_media(spark, sf_dir))
+    return dec.select("media_id", "kind", "width", "height",
+                      "n_channels", "n_bytes", "ok")
+
+
+_SQL_MULTIMODAL_DECODE = """
+SELECT doc_id::bigint AS media_id, 'image' AS kind,
+       (doc_id % 640 + 16)::int AS width,
+       (doc_id % 480 + 16)::int AS height,
+       (doc_id % 3 + 1)::int AS n_channels,
+       (9 + 64 + (doc_id % 5) * 64)::bigint AS n_bytes,
+       true AS ok
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.multimodal import frame_sample_stub
+    return frame_sample_stub(_fake_media(spark, sf_dir), every_n=2)
+
+
+_SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id::bigint AS media_id, unnest(range(0, doc_id % 5 + 1, 2))::bigint
+           AS frame_idx
+FROM documents
+"""
 
 def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full north-rule DAG on the synthetic pages corpus → per-rule metrics."""
@@ -1060,11 +1110,30 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized scrub over documents text (byte-identity is pytest-gated)."""
+    """Vectorized PII/toxicity scrub — BYTE-EXACT oracle: the driver's value
+    hash compares the full scrubbed string against DuckDB applying the same
+    ordered pattern chain (Python `re` and RE2 agree on these patterns —
+    verified on the corpus + adversarial fixtures)."""
     from dataquality_spark.scrub import with_scrubbed_text
     docs = _t(spark, sf_dir, "documents")
-    return (with_scrubbed_text(docs)
-            .select("doc_id", F.length("scrubbed_text").alias("scrubbed_len")))
+    return with_scrubbed_text(docs).select("doc_id", "scrubbed_text")
+
+
+def _sql_scrub_chain() -> str:
+    import re as _re
+    expr = "text"
+    pats = list(spec.SCRUB_PATTERNS) + [
+        (rf"\b{_re.escape(w)}\b", spec.TOXIC_REPLACEMENT)
+        for w in spec.TOXIC_WORDS]
+    for pat, rep in pats:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return expr
+
+
+_SQL_SCRUB_DOCS = f"""
+SELECT doc_id, {_sql_scrub_chain()} AS scrubbed_text FROM documents
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1096,12 +1165,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
-    # rows-only (non-SQL-expressible)
+    "scrub_documents": q_scrub_documents,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
+    # rows-only (non-SQL-expressible: model UDFs, LSH plans)
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "simhash_buckets": q_simhash_buckets,
-    "scrub_documents": q_scrub_documents,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1133,4 +1204,7 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "scrub_documents": _SQL_SCRUB_DOCS,
+    "multimodal_decode": _SQL_MULTIMODAL_DECODE,
+    "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
 }

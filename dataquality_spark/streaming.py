@@ -59,3 +59,71 @@ def stream_rule_metrics_query(spark: SparkSession, input_dir: str,
     agg = flagged.agg(*aggs)
     return (agg.writeStream.outputMode("complete")
             .format("memory").queryName(query_name).start())
+
+
+def stream_decisions_query(spark: SparkSession, input_dir: str,
+                           out_dir: str, checkpoint_dir: str):
+    """Incremental pre-dedup decisions to a parquet file sink with a
+    checkpoint — the production shape: exactly-once per input file across
+    restarts (the file source records consumed files in the checkpoint; a
+    killed/restarted query neither drops nor duplicates rows — tested).
+    Stateless stages only; the batch compactor finalizes ``keep``
+    (module docstring)."""
+    flagged = stream_flagged(spark, input_dir)
+    gate = F.lit(True)
+    for r in spec.HEURISTIC_RULES:
+        gate = gate & F.col(f"r_{r}")
+    dec = flagged.withColumn("pre_dedup_pass", gate).select(
+        "url", "warc_ts", "pre_dedup_pass",
+        *[f"r_{r}" for r in spec.HEURISTIC_RULES])
+    return (dec.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
+
+
+def stream_windowed_metrics_query(spark: SparkSession, input_dir: str,
+                                  window: str = "1 hour",
+                                  watermark: str = "2 hours",
+                                  query_name: str = "windowed_metrics"):
+    """Event-time windowed pass rates with a watermark for late snapshots:
+    per ``window(warc_ts)``, rows seen and heuristic-gate pass count. The
+    watermark bounds state for out-of-order WARC captures — the standard
+    late-data shape at crawl scale (update mode + memory sink here; Iceberg
+    sink on a cluster)."""
+    flagged = stream_flagged(spark, input_dir)
+    gate = F.lit(True)
+    for r in spec.HEURISTIC_RULES:
+        gate = gate & F.col(f"r_{r}")
+    agg = (flagged.withColumn("pass", gate)
+           .withWatermark("warc_ts", watermark)
+           .groupBy(F.window("warc_ts", window).alias("w"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("pass").cast("long")).alias("n_pass")))
+    return (agg.select(F.col("w.start").alias("w_start"), "n_rows", "n_pass")
+            .writeStream.outputMode("update")
+            .format("memory").queryName(query_name).start())
+
+
+def stream_first_seen_dedup_query(spark: SparkSession, input_dir: str,
+                                  out_dir: str, checkpoint_dir: str,
+                                  watermark: str = "24 hours"):
+    """Streaming exact dedup: emit only the FIRST-ARRIVING row per content
+    hash, state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark`` — Spark's native stateful dedup; no
+    custom state UDF needed). Semantics differ from batch dedup by design:
+    batch picks min(warc_ts, url) per group, streaming picks arrival order —
+    both are deterministic "one winner per content group" policies; the
+    batch compactor remains the canonical one."""
+    from dataquality_spark.functions import text as TX
+    pages = stream_pages(spark, input_dir).drop("html")
+    hashed = (pages.withColumn("content_hash", TX.content_hash(F.col("text")))
+              .withWatermark("warc_ts", watermark)
+              .dropDuplicatesWithinWatermark(["content_hash"]))
+    return (hashed.select("url", "warc_ts", "content_hash")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .start())
