@@ -106,6 +106,90 @@ def _bucket_udf(spark: SparkSession, dim: int, n_planes: int, seed: int = 42):
     return bucket
 
 
+def _band_bucket_udf(spark: SparkSession, dim: int, bands: int,
+                     band_bits: int, seed: int = 7):
+    """vec → array of ``bands`` bucket keys; key b packs (b, sign bits of the
+    b-th plane block) so different bands never collide."""
+    P = _planes(dim, bands * band_bits, seed)
+    b_p = spark.sparkContext.broadcast(P)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        P_ = b_p.value
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (V @ P_.T) > 0  # [B, bands*band_bits]
+        out = []
+        for row in bits:
+            keys = []
+            for b in range(bands):
+                block = row[b * band_bits:(b + 1) * band_bits]
+                k = b
+                for j, bit in enumerate(block):
+                    k = (k << 1) | int(bit)
+                keys.append(k)
+            out.append(keys)
+        return pd.Series(out, dtype=object)
+
+    return buckets
+
+
+def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
+                             threshold: float = 0.9,
+                             bands: int = 8, band_bits: int = 6,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int | None = None, seed: int = 7,
+                             max_bucket_size: int = 200) -> DataFrame:
+    """ALL-PAIRS embedding near-duplicates — the dense-vector analogue of
+    MinHash LSH dedup: banded hyperplane signatures (Charikar 2002; per-bit
+    collision prob 1-θ/π) → self-join on band buckets → exact cosine verify
+    ≥ threshold. Returns (id_a, id_b, cos_sim), id_a < id_b. Never a cross
+    join; hot buckets beyond ``max_bucket_size`` are dropped via a broadcast
+    anti-join exactly like the text LSH path (exact-dup mega-groups belong
+    to exact dedup, not LSH).
+
+    Default 8 bands × 6 bits: candidate-recall ≈0.98 at cos 0.9, ≈0.5 at
+    cos 0.5 (the S-curve knee sits near the threshold by construction).
+    Precision is exact — every emitted pair is verified.
+    """
+    from pyspark import StorageLevel
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    buckets = _band_bucket_udf(spark, dim, bands, band_bits, seed)
+    base = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .withColumn("_bkeys", buckets(F.col("_v")))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    bk = base.select("_id", F.explode("_bkeys").alias("_bucket"))
+    hot = (bk.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+           .where(F.col("_n") > max_bucket_size).select("_bucket"))
+    bk = bk.join(F.broadcast(hot), "_bucket", "left_anti")
+    a = bk.select(F.col("_id").alias("id_a"), "_bucket")
+    b = bk.select(F.col("_id").alias("id_b"), "_bucket")
+    cand = (a.join(b, "_bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    pairs = (cand
+             .join(base.select(F.col("_id").alias("id_a"),
+                               F.col("_v").alias("_va")), "id_a")
+             .join(base.select(F.col("_id").alias("id_b"),
+                               F.col("_v").alias("_vb")), "id_b"))
+
+    @F.pandas_udf("double")
+    def cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        X = np.array(x.tolist(), dtype=np.float64)
+        Y = np.array(y.tolist(), dtype=np.float64)
+        num = (X * Y).sum(axis=1)
+        den = np.maximum(np.linalg.norm(X, axis=1)
+                         * np.linalg.norm(Y, axis=1), 1e-12)
+        return pd.Series(num / den)
+
+    return (pairs.withColumn("cos_sim", cos(F.col("_va"), F.col("_vb")))
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))
+
+
 def cosine_topk_lsh(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                     k: int = 10, n_planes: int = 8, probes: int = 1,
                     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -494,6 +494,13 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 # Q14 — token statistics (text analysis: token counting, TTR)
 
+# BPE-style pretokenizer (GPT-2 family shape), restricted to the subset both
+# Java regex and RE2 support (no lookahead): letter runs, digit runs,
+# punctuation runs, each with an optional leading space. Whitespace itself is
+# not a token. Counts approximate subword-tokenizer input units ~1:1.3.
+_BPE_ISH_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     words = TX.words_col(F.col("text"))
@@ -504,6 +511,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.size(F.array_distinct(words)) / F.size(words), 6)
         .alias("ttr"),
         F.length("text").alias("char_cnt"),
+        F.coalesce(F.regexp_count("text", F.lit(_BPE_ISH_RE)), F.lit(0))
+        .alias("bpe_ish_cnt"),
     )
 
 
@@ -513,7 +522,8 @@ SELECT doc_id,
        len(list_distinct({_SQL_WORDS})) AS distinct_cnt,
        round(len(list_distinct({_SQL_WORDS}))::double
              / len({_SQL_WORDS}), 6) AS ttr,
-       len(text) AS char_cnt
+       len(text) AS char_cnt,
+       len(regexp_extract_all(text, '{_BPE_ISH_RE}')) AS bpe_ish_cnt
 FROM documents
 """
 
@@ -1100,6 +1110,24 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(docs, id_col="doc_id", jaccard_threshold=0.5)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dups via banded hyperplane LSH + exact
+    cosine verify (rows-only: the LSH candidate set is not SQL-expressible;
+    precision is exact by the verify stage, recall pytest-gated).
+
+    The driver's embeddings are near-orthogonal (max pairwise cos ≈ 0.51),
+    so the corpus is augmented with a scaled shadow copy of itself: each
+    (id, id+1M) pair has cosine exactly 1 and identical sign bits in every
+    band — deterministic LSH recall 1.0, one output row per input vector."""
+    from dataquality_spark.operators.similarity import embedding_near_dup_pairs
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shadow = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    return embedding_near_dup_pairs(
+        spark, emb.unionByName(shadow), threshold=0.999)
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: distribution of 16-bit prefix buckets."""
     from dataquality_spark.operators.dedup import simhash_udf
@@ -1173,6 +1201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_scores": q_langid_scores,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "simhash_buckets": q_simhash_buckets,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -74,3 +74,60 @@ def test_lsh_sims_are_exact_for_found(spark, emb):
                     suffixes=("_e", "_a"))
     assert len(m) > 0
     assert np.allclose(m["cos_sim_e"], m["cos_sim_a"], atol=1e-6)
+
+
+def test_embedding_near_dup_pairs_recall_and_precision(spark):
+    """Planted near-dup clusters: every emitted pair is exact-verified
+    (precision 1 by construction); planted-pair recall ≥ 0.9; unrelated
+    vectors produce no pairs."""
+    from dataquality_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    rows, planted = [], set()
+    vid = 0
+    for c in range(25):                    # 25 clusters of 2 near-dups
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        noisy = base + 0.05 * rng.randn(64)     # cos ≈ 0.95
+        rows.append((vid, base.astype(np.float32).tolist()))
+        rows.append((vid + 1, noisy.astype(np.float32).tolist()))
+        planted.add((vid, vid + 1))
+        vid += 2
+    for _ in range(100):                   # unrelated background
+        v = rng.randn(64)
+        rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+        vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    got = embedding_near_dup_pairs(spark, df, threshold=0.9).toPandas()
+    got_pairs = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
+    # precision: every returned pair truly ≥ threshold (verify stage)
+    assert (got["cos_sim"] >= 0.9).all()
+    # recall on planted pairs
+    found = len(planted & got_pairs)
+    assert found / len(planted) >= 0.9, f"recall {found}/{len(planted)}"
+    # random 64-dim background shouldn't hit 0.9 cosine
+    background = got_pairs - planted
+    assert not background, background
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """A mega-group of identical vectors is capped out of the LSH join."""
+    from dataquality_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(64)
+    base /= np.linalg.norm(base)
+    rows = [(i, base.astype(np.float32).tolist()) for i in range(40)]
+    pair = rng.randn(64)
+    pair /= np.linalg.norm(pair)
+    rows += [(100, pair.astype(np.float32).tolist()),
+             (101, (pair + 0.03 * rng.randn(64)).astype(np.float32).tolist())]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    got = embedding_near_dup_pairs(spark, df, threshold=0.9,
+                                   max_bucket_size=10).toPandas()
+    got_pairs = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
+    assert (100, 101) in got_pairs            # normal pair survives
+    assert not any(a < 40 and b < 40 for a, b in got_pairs)  # capped
