@@ -23,13 +23,17 @@ import pandas as pd
 from dataquality_spark import spec
 
 _SYMBOL_RE = re.compile(spec.SYMBOL_RE)
-_WS_RE = re.compile(r"\s+")
+# ASCII whitespace ONLY — the spec's word boundary (spec.WORD_SPLIT_RE note):
+# CPython \s is Unicode-aware, Java regex / RE2 are not, so the oracle pins
+# the ASCII class explicitly; \xa0 etc. are word characters in every engine.
+_ASCII_WS = " \t\n\x0b\x0c\r"
+_WS_RE = re.compile(f"[{_ASCII_WS}]+")
 
 
 def _words(text) -> list[str]:
     if text is None or (isinstance(text, float) and np.isnan(text)):
         return []
-    t = str(text).strip()
+    t = str(text).strip(_ASCII_WS)
     if not t:
         return []
     return _WS_RE.split(t)
@@ -47,7 +51,7 @@ def text_stats_row(text, lang) -> dict:
     stop_cnt = sum(1 for w in ws if w.lower() in stops)
     sym_cnt = len(_SYMBOL_RE.findall(str(text))) if text is not None else 0
     lines = [l for l in (str(text).split("\n") if text is not None else [])
-             if l.strip() != ""]
+             if l.strip(_ASCII_WS) != ""]
     return {
         "word_cnt": n,
         "mean_wlen": (sum(len(w) for w in ws) / n) if n else None,
@@ -73,7 +77,7 @@ def heuristic_labels(pdf: pd.DataFrame, text_col: str = "text",
 
     out["r_nonempty"] = pdf[text_col].apply(
         lambda t: t is not None and not (isinstance(t, float) and np.isnan(t))
-        and str(t).strip() != ""
+        and str(t).strip(_ASCII_WS) != ""
     )
     out["r_min_words"] = st["word_cnt"] >= spec.MIN_WORDS
     out["r_max_words"] = st["word_cnt"] <= spec.MAX_WORDS

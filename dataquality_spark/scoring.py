@@ -59,7 +59,16 @@ def are_weights_valid(weights, scores: list[dict], kind: str = "test"
 
 def calculate_dimension_score(dimension: str, scores: list[dict],
                               weights: dict | str = {}) -> dict:
-    """scores: [{"test": rule_id, "value": score-or-falsy}] → weighted mean."""
+    """scores: [{"test": rule_id, "value": score-or-falsy}] → weighted mean.
+
+    NOTE the mutable default ``weights={}`` and the ``weights != {}``
+    EQUALITY sentinel are deliberate, load-bearing reference parity
+    (`utils/core_operations.py:339-386`): an explicitly-passed empty dict
+    must behave exactly like the default (skip validation, fall back to
+    1/len uniform weights), and a string (the reference accepts
+    stringly-typed weights) must go through validation. Do not "fix" to
+    ``weights=None`` / ``is not None`` — that changes which inputs validate.
+    """
     if weights != {}:
         weights, _ = are_weights_valid(weights, scores)
     value = 0.0

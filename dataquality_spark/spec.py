@@ -27,6 +27,11 @@ from __future__ import annotations
 # --- tokenization ----------------------------------------------------------
 # words  = trim(text) split on /\s+/ ; empty/whitespace-only text -> 0 words
 # lines  = text split on '\n' (trailing empties kept, as both engines do)
+# \s agreement zone: Java regex (Spark) and RE2 (DuckDB oracle) treat \s as
+# ASCII [ \t\n\x0B\f\r]; CPython re (pandas oracle, scrub UDF) is Unicode-\s.
+# The spec therefore defines a "word boundary" as ASCII whitespace — exotic
+# Unicode spaces (\xa0 etc.) are word characters. Property-tested across
+# engines in tests/test_property_parity.py.
 WORD_SPLIT_RE = r"\s+"
 LINE_SPLIT = "\n"
 
