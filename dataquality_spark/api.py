@@ -44,7 +44,8 @@ def run_rule(spark: SparkSession, dataset: DataFrame | str,
     ``logging_path`` as parquet and returns its path.
     """
     if isinstance(dataset, str):
-        dataset = spark.read.parquet(dataset)
+        from dataquality_spark.sources import read_data
+        dataset = read_data(spark, dataset)
     if rule_id == "dedup":
         from dataquality_spark.operators.dedup import with_dedup_flag
         flagged = with_dedup_flag(dataset, text_col=text_col)
@@ -81,7 +82,8 @@ def run_rules(spark: SparkSession, dataset: DataFrame | str,
     `run_tests` loop re-reads the input per test, `core_operations.py`;
     here every flag is a column in one projection). Empty input → {}."""
     if isinstance(dataset, str):
-        dataset = spark.read.parquet(dataset)
+        from dataquality_spark.sources import read_data
+        dataset = read_data(spark, dataset)
     rule_ids = rule_ids or spec.HEURISTIC_RULES
     unknown = [r for r in rule_ids if r not in spec.HEURISTIC_RULES]
     if unknown:

@@ -1128,6 +1128,52 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.unionByName(shadow), threshold=0.999)
 
 
+def q_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-dup: every pair above a cosine
+    threshold, canonical order id_a < id_b.
+
+    This is the brute-force exact baseline for the embedding-cosine
+    near-dup capability; `embedding_neardup` (hyperplane-LSH blocked +
+    exact verify) is the 100-TB path with the same verify math. The small
+    side is broadcast so the pair generation is a broadcast nested-loop
+    over the inequality predicate — acceptable ONLY because this variant
+    exists as an oracle baseline; at scale use the LSH operator."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("eb"))
+    j = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(
+        "ea", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(
+        "eb", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return (j.select("id_a", "id_b",
+                     F.round(dot / (na * nb), 4).alias("cos_sim"))
+            .where(F.col("cos_sim") >= 0.35))
+
+
+_SQL_COSINE_ALLPAIRS = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_aggregate(list_transform(range(1, 65),
+                   i -> a.embedding[i]::double * b.embedding[i]::double), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> a.embedding[i]::double * a.embedding[i]::double), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> b.embedding[i]::double * b.embedding[i]::double), 'sum'))),
+               4) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
+"""
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: distribution of 16-bit prefix buckets."""
     from dataquality_spark.operators.dedup import simhash_udf
@@ -1193,6 +1239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
+    "cosine_allpairs": q_cosine_allpairs,
     "scrub_documents": q_scrub_documents,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -1233,6 +1280,7 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "cosine_allpairs": _SQL_COSINE_ALLPAIRS,
     "scrub_documents": _SQL_SCRUB_DOCS,
     "multimodal_decode": _SQL_MULTIMODAL_DECODE,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,

@@ -1,0 +1,95 @@
+"""S-1/S-2/S-3 source dispatch: XLSX reader/writer round-trip, shared-string
+cells, CSV encoding fallback, DataFrame passthrough.
+
+Reference parity: `read_data` (`/root/reference/utils/core_operations.py:50-70`).
+"""
+
+import zipfile
+
+import pandas as pd
+import pytest
+
+from dataquality_spark.sources import read_data, read_xlsx, read_xlsx_pdf, write_xlsx
+
+
+@pytest.fixture()
+def sample_pdf():
+    return pd.DataFrame({
+        "name": ["alice", "bob", "zoë — ünïcode", "d<&>e"],
+        "count": [1, 2, 3, 4],
+        "score": [0.5, 1.25, None, 3.0],
+        "ok": [True, False, True, False],
+    })
+
+
+def test_xlsx_roundtrip_values(tmp_path, sample_pdf):
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(sample_pdf, p)
+    back = read_xlsx_pdf(p)
+    assert list(back.columns) == ["name", "count", "score", "ok"]
+    assert back["name"].tolist() == sample_pdf["name"].tolist()
+    # pandas-default narrowing: whole-valued numeric column -> int64
+    assert back["count"].dtype == "int64"
+    assert back["count"].tolist() == [1, 2, 3, 4]
+    assert back["score"][1] == 1.25 and pd.isna(back["score"][2])
+    assert back["ok"].tolist() == [True, False, True, False]
+
+
+def test_xlsx_spark_read(spark, tmp_path, sample_pdf):
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(sample_pdf, p)
+    df = read_xlsx(spark, p)
+    assert df.count() == 4
+    assert set(df.columns) == {"name", "count", "score", "ok"}
+    row = df.where("name = 'bob'").collect()[0]
+    assert row["count"] == 2 and row["score"] == 1.25 and row["ok"] is False
+
+
+def test_xlsx_shared_strings_and_sparse_rows(tmp_path):
+    """Exercise the t="s" shared-string path and missing-cell alignment —
+    the layout openpyxl/Excel actually emit (our writer uses inlineStr)."""
+    p = str(tmp_path / "ss.xlsx")
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>10</v></c></row>'
+        '<row r="3"><c r="B3"><v>20</v></c></row>'  # A3 missing -> null
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        f'<sst xmlns="{ns}" count="3" uniqueCount="3">'
+        "<si><t>city</t></si><si><t>pop</t></si>"
+        "<si><r><t>mont</t></r><r><t>réal</t></r></si></sst>"  # rich runs
+    )
+    write_xlsx(pd.DataFrame({"x": [1]}), p)  # valid scaffold…
+    with zipfile.ZipFile(p, "a") as zf:      # …then override sheet + add sst
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", shared)
+    back = read_xlsx_pdf(p)
+    assert list(back.columns) == ["city", "pop"]
+    assert back["city"][0] == "montréal" and back["city"][1] is None
+    assert back["pop"].tolist() == [10, 20]
+
+
+def test_read_data_csv_utf8_and_cp1252(spark, tmp_path):
+    utf8 = tmp_path / "a.csv"
+    utf8.write_bytes("﻿name,n\nzoë,1\n".encode("utf-8"))
+    df = read_data(spark, str(utf8))
+    assert df.columns == ["name", "n"]  # BOM stripped from header
+    assert df.collect()[0]["name"] == "zoë"
+
+    win = tmp_path / "b.csv"
+    # cp1252, invalid utf-8: é (0xE9, latin-1-shared) AND cp1252-only
+    # curly quotes + euro (0x93/0x94/0x80, which latin-1 maps to C1 controls)
+    win.write_bytes(b"name,n\ncaf\xe9 \x93x\x94 \x80,2\n")
+    df2 = read_data(spark, str(win))
+    assert df2.collect()[0]["name"] == "café “x” €"
+
+
+def test_read_data_passthrough_and_name_ext(spark, tmp_path, sample_pdf):
+    df = spark.range(3)
+    assert read_data(spark, df) is df  # S-3
+    p = str(tmp_path / "blob")         # extension carried via name=
+    write_xlsx(sample_pdf, p)
+    assert read_data(spark, p, name="upload.xlsx").count() == 4
