@@ -127,3 +127,62 @@ def stream_first_seen_dedup_query(spark: SparkSession, input_dir: str,
             .option("path", out_dir)
             .option("checkpointLocation", checkpoint_dir)
             .start())
+
+
+_HOST_RE = r"^[a-z]+://([^/]+)"
+
+REPUTATION_OUTPUT = ("host string, docs bigint, fails bigint, "
+                     "fail_rate double, blocked boolean")
+REPUTATION_STATE = "docs bigint, fails bigint"
+
+
+def _reputation_fn(min_docs: int, max_fail_rate: float):
+    """Build the applyInPandasWithState update function. State per host =
+    (docs_seen, fails_seen), monotone across micro-batches; a host is
+    `blocked` once it has accumulated >= min_docs documents with a failure
+    rate above max_fail_rate. Arrow-batched: one call per (host,
+    micro-batch), vectorized sums inside."""
+    def update(key, pdfs, state):
+        import pandas as pd
+        docs, fails = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            fails += int((~pdf["doc_pass"]).sum())
+        state.update((docs, fails))
+        rate = fails / docs if docs else 0.0
+        yield pd.DataFrame({
+            "host": [key[0]], "docs": [docs], "fails": [fails],
+            "fail_rate": [rate],
+            "blocked": [docs >= min_docs and rate > max_fail_rate],
+        })
+    return update
+
+
+def stream_host_reputation_query(spark: SparkSession, input_dir: str,
+                                 query_name: str = "host_reputation",
+                                 min_docs: int = 20,
+                                 max_fail_rate: float = 0.5):
+    """Adaptive per-host reputation — the custom stateful operator the
+    built-ins can't express (running counters + a threshold decision that
+    must survive across micro-batches): ``applyInPandasWithState`` keyed by
+    ``url_host``. The web-pipeline pattern: spammy domains get blocked once
+    enough of their pages fail the heuristic gate, without re-scanning
+    history. State is two BIGINTs per distinct host — bounded by the host
+    cardinality, not the document count, so it holds at crawl scale; the
+    groupBy shuffle is the same keyed exchange the batch dedup pays."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    flagged = stream_flagged(spark, input_dir)
+    gate = F.lit(True)
+    for r in spec.HEURISTIC_RULES:
+        gate = gate & F.col(f"r_{r}")
+    per_doc = flagged.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        gate.alias("doc_pass"))
+    status = per_doc.groupBy("host").applyInPandasWithState(
+        _reputation_fn(min_docs, max_fail_rate),
+        outputStructType=REPUTATION_OUTPUT,
+        stateStructType=REPUTATION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return (status.writeStream.outputMode("update")
+            .format("memory").queryName(query_name).start())

@@ -114,3 +114,50 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
                          .select(F.xxhash64("text")).distinct().count())
     assert out.count() == n_distinct_hashes          # one winner per group
     assert out.select("content_hash").distinct().count() == n_distinct_hashes
+
+
+def test_host_reputation_stateful_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-host counters
+    must ACCUMULATE across micro-batches — totals after two separate input
+    arrivals equal the batch computation over the union."""
+    from dataquality_spark.streaming import stream_host_reputation_query
+
+    in_dir = str(tmp_path / "rep_in")
+    generate_pages(spark, 300, seed=21, partitions=3) \
+        .write.mode("append").parquet(in_dir)
+    # min_docs=1, max_fail_rate=0.0 -> blocked iff any doc failed the gate
+    q = stream_host_reputation_query(spark, in_dir, query_name="t_rep",
+                                     min_docs=1, max_fail_rate=0.0)
+    try:
+        q.processAllAvailable()
+        # second arrival, same host pool -> existing state must carry over
+        generate_pages(spark, 200, seed=22, partitions=2) \
+            .withColumn("url", F.regexp_replace("url", "/p/", "/q/")) \
+            .write.mode("append").parquet(in_dir)
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM t_rep").toPandas()
+    finally:
+        q.stop()
+
+    # latest update per host = the row with max docs (counters are monotone)
+    latest = emitted.loc[emitted.groupby("host")["docs"].idxmax()] \
+        .set_index("host")
+
+    gate = F.lit(True)
+    for r in spec.HEURISTIC_RULES:
+        gate = gate & F.col(f"r_{r}")
+    batch = (with_rule_flags(spark.read.parquet(in_dir))
+             .select(F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+                     .alias("host"), gate.alias("doc_pass"))
+             .groupBy("host")
+             .agg(F.count(F.lit(1)).alias("docs"),
+                  F.count(F.when(~F.col("doc_pass"), 1)).alias("fails"))
+             ).toPandas().set_index("host")
+
+    assert set(latest.index) == set(batch.index)
+    for host, row in batch.iterrows():
+        got = latest.loc[host]
+        assert got["docs"] == row["docs"], host
+        assert got["fails"] == row["fails"], host
+        assert bool(got["blocked"]) == (row["fails"] > 0), host
+    assert latest["blocked"].any() and not latest["blocked"].all()
