@@ -108,3 +108,28 @@ class ManifestCatalog:
     def has_metadata(self, name: str) -> bool:
         """Reference S1 accessibility check (`dimensions/accessibility/s1.py:36`)."""
         return os.path.exists(self._manifest_path(name))
+
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> list[str]:
+        """Iceberg `expireSnapshots` analogue: drop all but the newest
+        ``keep_last`` snapshots and delete data directories no kept snapshot
+        references (append-chain snapshots share dirs, so reachability is
+        computed over the survivors, never per-snapshot). Returns the
+        deleted directories. Metadata commit happens AFTER the file deletes
+        it describes — a crash mid-expire leaves extra files, never a
+        manifest pointing at missing data."""
+        import shutil
+        man = self._load_manifest(name)
+        if len(man["snapshots"]) <= keep_last:
+            return []
+        kept = man["snapshots"][-keep_last:]
+        referenced = {d for s in kept for d in s["data_dirs"]}
+        removed = []
+        for snap in man["snapshots"][:-keep_last]:
+            for d in snap["data_dirs"]:
+                if d not in referenced and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed.append(d)
+                    referenced.add(d)  # rmtree once even if shared upstream
+        man["snapshots"] = kept
+        self._store_manifest(name, man)
+        return removed

@@ -240,3 +240,104 @@ def cosine_topk_lsh(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
             .where(F.col("rn") <= k)
             .select("query_id", "neighbor_id",
                     F.round("cos_sim", 6).alias("cos_sim"), "rn"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-routed scale path complementing LSH.
+# Public design: Sivic & Zisserman "Video Google" inverted files / FAISS IVF.
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(corpus: DataFrame, n_cells: int = 64,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        sample: int = 4096, iters: int = 10,
+                        seed: int = 13) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained driver-side on a bounded
+    deterministic sample (sorted by id, then seeded shuffle — invariant to
+    partitioning). Returns L2-normalized centroids [n_cells, dim].
+
+    At 100 TB the sample stays a few thousand rows (a `sort+limit` Spark can
+    satisfy with a top-k per partition), and training is seconds of numpy on
+    the driver; the expensive part — assignment — is distributed."""
+    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample).collect())
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(mix64(np.arange(len(X), dtype=np.uint64)
+                             + np.uint64(seed)))
+    C = X[order[:n_cells]].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+            # empty cell: keep previous centroid (deterministic)
+    return C
+
+
+def with_ivf_cell(spark: SparkSession, df: DataFrame, centroids: np.ndarray,
+                  vec_col: str = "embedding",
+                  cell_col: str = "_cell") -> DataFrame:
+    """Assign every vector its nearest (max-cosine) centroid cell — one
+    Arrow-batched matmul per batch, no shuffle; at scale this is the
+    write-time partitioning/bucketing key of the vector table."""
+    b_c = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def cell(vecs: pd.Series) -> pd.Series:
+        C = b_c.value
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    return df.withColumn(cell_col, cell(F.col(vec_col)))
+
+
+def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             k: int = 10, n_cells: int = 64, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """Approximate top-k via IVF routing: corpus vectors live in centroid
+    cells; each query probes its ``nprobe`` nearest cells and exact-reranks
+    only those candidates. (query_id, neighbor_id, cos_sim, rn).
+
+    Plan shape mirrors `cosine_topk_lsh`: cell assignment is shuffle-free,
+    the query-probe table is tiny and broadcast, so the only shuffle is the
+    candidate window — sub-linear in the corpus for nprobe << n_cells.
+    ``nprobe == n_cells`` degenerates to exact brute force (recall 1.0),
+    which the tests exploit as an equivalence oracle."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_cells,
+                                        id_col=id_col, vec_col=vec_col)
+    c = with_ivf_cell(spark, corpus, centroids, vec_col)
+
+    qids, Q = _collect_queries(queries, id_col, vec_col)
+    sims = Q @ centroids.T                                   # [nq, cells]
+    probe = np.argsort(-sims, axis=1)[:, :nprobe]            # [nq, nprobe]
+    q_probes = spark.createDataFrame(
+        [(int(qid), list(map(float, qv)), int(cell))
+         for qid, qv, row in zip(qids, Q, probe) for cell in row],
+        "query_id long, _qvec array<double>, _cell int")
+
+    cand = (c.join(F.broadcast(q_probes), "_cell")
+            .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("_cvec"), "_qvec")
+            .where(F.col("neighbor_id") != F.col("query_id")))
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.maximum(np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1),
+                         1e-12)
+        return pd.Series(num / den)
+
+    scored = cand.withColumn("cos_sim", cos(F.col("_qvec"), F.col("_cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_sim", 6).alias("cos_sim"), "rn"))

@@ -1174,6 +1174,52 @@ SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.35
 """
 
 
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-routed ANN (train centroids → assign cells → probe → re-rank),
+    run at nprobe == n_cells where it provably degenerates to exact search —
+    so the DuckDB brute-force oracle checks the ENTIRE IVF code path (cell
+    assignment, probe routing, candidate join, re-rank) exactly. The
+    sub-linear regime (nprobe << n_cells) is recall-gated in
+    tests/test_similarity.py. rn is recomputed over the rounded similarity
+    so tie-breaks match the oracle's ordering."""
+    from dataquality_spark.operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5)
+    # fetch deeper than the final k: the operator's internal ordering uses
+    # 6-digit similarity, the oracle comparison 4-digit — a 4-digit tie at
+    # the k boundary must not be cut before the re-rank below
+    raw = ivf_topk(spark, emb, queries, k=10, n_cells=16, nprobe=16)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim4"), F.asc("neighbor_id"))
+    return (raw.select("query_id", "neighbor_id",
+                       F.round("cos_sim", 4).alias("sim4"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id",
+                    F.col("sim4").alias("cos_sim"), "rn"))
+
+
+_SQL_IVF_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 5),
+     s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_aggregate(list_transform(range(1, 65),
+                   i -> qe[i]::double * c.embedding[i]::double), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> qe[i]::double * qe[i]::double), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> c.embedding[i]::double * c.embedding[i]::double),
+                   'sum'))), 4) AS cos_sim
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: distribution of 16-bit prefix buckets."""
     from dataquality_spark.operators.dedup import simhash_udf
@@ -1240,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
     "cosine_allpairs": q_cosine_allpairs,
+    "ivf_knn": q_ivf_knn,
     "scrub_documents": q_scrub_documents,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
@@ -1281,6 +1328,7 @@ ORACLE_SQL: dict[str, str] = {
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
     "cosine_allpairs": _SQL_COSINE_ALLPAIRS,
+    "ivf_knn": _SQL_IVF_KNN,
     "scrub_documents": _SQL_SCRUB_DOCS,
     "multimodal_decode": _SQL_MULTIMODAL_DECODE,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,

@@ -26,3 +26,26 @@ def test_snapshot_append(spark, tmp_path):
     cat.write(df1, "t")
     cat.write(df2, "t", mode="append")
     assert sorted(r["x"] for r in cat.read(spark, "t").collect()) == [1, 2, 3]
+
+
+def test_expire_snapshots_keeps_current_readable(spark, tmp_path):
+    """Expiry must delete only unreachable data dirs: an append chain's
+    current snapshot still reads ALL its rows afterwards, and expired
+    snapshot ids are gone from the manifest."""
+    cat = ManifestCatalog(str(tmp_path))
+    cat.write(spark.createDataFrame(pd.DataFrame({"x": [1, 2]})), "t")
+    s_old = cat.write(spark.createDataFrame(pd.DataFrame({"x": [9]})), "t",
+                      mode="overwrite")   # orphaned by the next overwrite
+    cat.write(spark.createDataFrame(pd.DataFrame({"x": [3, 4]})), "t",
+              mode="overwrite")
+    cat.write(spark.createDataFrame(pd.DataFrame({"x": [5]})), "t",
+              mode="append")             # current: shares dirs with previous
+
+    removed = cat.expire_snapshots("t", keep_last=2)
+    assert removed                        # the first two snapshots' dirs
+    snaps = cat.snapshots("t")
+    assert len(snaps) == 2
+    assert s_old not in [s["id"] for s in snaps]
+    got = sorted(r["x"] for r in cat.read(spark, "t").collect())
+    assert got == [3, 4, 5]              # shared append-chain dirs survive
+    assert cat.expire_snapshots("t", keep_last=2) == []  # idempotent

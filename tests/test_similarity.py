@@ -131,3 +131,63 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
     got_pairs = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
     assert (100, 101) in got_pairs            # normal pair survives
     assert not any(a < 40 and b < 40 for a, b in got_pairs)  # capped
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark, emb):
+    """nprobe == n_cells degenerates IVF to exact search: results must
+    match cosine_topk row-for-row (the built-in equivalence oracle)."""
+    from dataquality_spark.operators.similarity import ivf_topk
+    queries = emb.where(F.col("vec_id") < 4)
+    corpus = emb.where(F.col("vec_id") >= 4)
+    exact = cosine_topk(spark, corpus, queries, k=5).toPandas() \
+        .sort_values(["query_id", "rn"]).reset_index(drop=True)
+    ivf = ivf_topk(spark, corpus, queries, k=5, n_cells=16, nprobe=16) \
+        .toPandas().sort_values(["query_id", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, ivf)
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """IVF is built for clustered data: 8 well-separated clusters, queries
+    = perturbed members. recall@5 must be high probing 3 of 16 cells (a
+    cluster can straddle a cell boundary, so nprobe>1 is the honest
+    operating point) and hits 1.0 when the probe covers the true cluster."""
+    from dataquality_spark.operators.similarity import (
+        ivf_topk, train_ivf_centroids)
+    rng = np.random.RandomState(3)
+    centers = rng.randn(8, 32) * 4
+    rows, truth_pool = [], {}
+    vid = 0
+    for c in range(8):
+        for _ in range(60):
+            v = centers[c] + rng.randn(32) * 0.3
+            rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32)
+                         .tolist()))
+            truth_pool.setdefault(c, []).append(vid)
+            vid += 1
+    corpus = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q_rows = [(100_000 + c,
+               ((centers[c] + rng.randn(32) * 0.2)
+                / np.linalg.norm(centers[c])).astype(np.float32).tolist())
+              for c in range(8)]
+    queries = spark.createDataFrame(
+        pd.DataFrame(q_rows, columns=["vec_id", "embedding"]))
+
+    cents = train_ivf_centroids(corpus, n_cells=16, sample=480, seed=13)
+    exact = cosine_topk(spark, corpus, queries, k=5).toPandas()
+    approx = ivf_topk(spark, corpus, queries, k=5, n_cells=16, nprobe=3,
+                      centroids=cents).toPandas()
+    recalls = []
+    for qid in approx["query_id"].unique():
+        want = set(exact[exact.query_id == qid]["neighbor_id"])
+        got = set(approx[approx.query_id == qid]["neighbor_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    from dataquality_spark.operators.similarity import train_ivf_centroids
+    c1 = train_ivf_centroids(emb, n_cells=8, sample=200, seed=13)
+    c2 = train_ivf_centroids(emb.repartition(7), n_cells=8, sample=200,
+                             seed=13)
+    assert np.array_equal(c1, c2)  # invariant to input partitioning
