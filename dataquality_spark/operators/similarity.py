@@ -139,7 +139,9 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              dim: int | None = None, seed: int = 7,
-                             max_bucket_size: int = 200) -> DataFrame:
+                             max_bucket_size: int = 200,
+                             cleanup: list[DataFrame] | None = None
+                             ) -> DataFrame:
     """ALL-PAIRS embedding near-duplicates — the dense-vector analogue of
     MinHash LSH dedup: banded hyperplane signatures (Charikar 2002; per-bit
     collision prob 1-θ/π) → self-join on band buckets → exact cosine verify
@@ -151,6 +153,12 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
     Default 8 bands × 6 bits: candidate-recall ≈0.98 at cos 0.9, ≈0.5 at
     cos 0.5 (the S-curve knee sits near the threshold by construction).
     Precision is exact — every emitted pair is verified.
+
+    The signature frame is persisted (it feeds bucketing AND both sides of
+    the verify join). Pass ``cleanup`` (a list) to receive the persisted
+    handle and unpersist after your terminal action — same contract as
+    ``pipeline.run_pipeline``; without it the cache lives until the session
+    ends (fine for one-shot jobs, a leak in long-lived services).
     """
     from pyspark import StorageLevel
 
@@ -160,6 +168,8 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
     base = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
             .withColumn("_bkeys", buckets(F.col("_v")))
             .persist(StorageLevel.MEMORY_AND_DISK))
+    if cleanup is not None:
+        cleanup.append(base)
     bk = base.select("_id", F.explode("_bkeys").alias("_bucket"))
     hot = (bk.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
            .where(F.col("_n") > max_bucket_size).select("_bucket"))
