@@ -53,6 +53,10 @@ def get_spark(
         # split would starve 32 cores; on a real cluster with TB-scale inputs
         # the default is right — this is a sandbox knob, not a design choice
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        # session-catalog tables (bucketed writes, sources/bucketed.py) land
+        # outside the repo; in-memory catalog, parquet files only
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/dq_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

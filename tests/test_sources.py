@@ -93,3 +93,37 @@ def test_read_data_passthrough_and_name_ext(spark, tmp_path, sample_pdf):
     p = str(tmp_path / "blob")         # extension carried via name=
     write_xlsx(sample_pdf, p)
     assert read_data(spark, p, name="upload.xlsx").count() == 4
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count must
+    join with ZERO shuffle exchanges; the identical unbucketed join must
+    shuffle — the co-location contract for recurring joins at scale."""
+    from dataquality_spark.sources.bucketed import (
+        colocated_join, exchange_count, write_bucketed)
+
+    docs = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text")
+    labels = spark.range(0, 2000).selectExpr(
+        "id AS doc_id", "id % 7 AS label")
+    write_bucketed(docs, "b_docs", "doc_id", n_buckets=8, sort_col="doc_id")
+    write_bucketed(labels, "b_labels", "doc_id", n_buckets=8,
+                   sort_col="doc_id")
+    # tiny test tables would broadcast (which also avoids a shuffle but
+    # proves nothing about co-location); force the shuffle-join regime the
+    # technique targets — at scale neither side is broadcastable
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = colocated_join(spark, "b_docs", "b_labels", "doc_id")
+        assert exchange_count(j) == 0
+        assert j.count() == 2000
+        row = j.where("doc_id = 13").collect()[0]
+        assert row["text"] == "text-13" and row["label"] == 6
+
+        plain = docs.join(labels.withColumnRenamed("label", "l2"), "doc_id")
+        assert exchange_count(plain) >= 1  # contrast: unbucketed shuffles
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_labels")
