@@ -1128,6 +1128,30 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.unionByName(shadow), threshold=0.999)
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-1 normalization chain as a full-text exact oracle: lower → strip
+    1-4 digit runs → keep alnum+space → collapse whitespace (reference
+    `utils/item_operations.py:29-36`, exact order). The driver's value hash
+    compares every normalized string byte-for-byte between Spark (Java
+    regex) and DuckDB (RE2) — the same cross-engine regex-parity bar the
+    scrub oracle holds."""
+    from dataquality_spark.functions.text import normalize_text
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+
+
+_SQL_NORMALIZE_TEXT = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(lower(trim(coalesce(text, ''))),
+                          '\b\d{1,4}\b', '', 'g'),
+           '[^a-z0-9\s]', '', 'g'),
+         '\s+', ' ', 'g')) AS norm
+FROM documents
+"""
+
+
 def q_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding near-dup: every pair above a cosine
     threshold, canonical order id_a < id_b.
@@ -1285,6 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
+    "normalize_text": q_normalize_text,
     "cosine_allpairs": q_cosine_allpairs,
     "ivf_knn": q_ivf_knn,
     "scrub_documents": q_scrub_documents,
@@ -1327,6 +1352,7 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "normalize_text": _SQL_NORMALIZE_TEXT,
     "cosine_allpairs": _SQL_COSINE_ALLPAIRS,
     "ivf_knn": _SQL_IVF_KNN,
     "scrub_documents": _SQL_SCRUB_DOCS,
