@@ -172,7 +172,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
                    jaccard_threshold: float = spec.NEAR_DUP_SIMILARITY,
                    shingle_n: int = 3,
                    max_bucket_size: int | None = 200,
-                   skew_metrics: dict | None = None) -> DataFrame:
+                   skew_metrics: dict | None = None,
+                   cleanup: list[DataFrame] | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-banded LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
@@ -189,6 +190,9 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
     The blocklist of hot buckets is tiny by construction and broadcast
     (map-side anti-join — no extra shuffle on the candidate path).
     ``skew_metrics``: pass a dict to receive {"hot_buckets": n} eagerly.
+    ``cleanup``: the signature frame is persisted (it feeds bucketing and
+    both verify sides); pass a list to receive the handle and unpersist
+    after your terminal action — same contract as ``pipeline.run_pipeline``.
     """
     from pyspark import StorageLevel
 
@@ -199,6 +203,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
         "_id", F.col("_sb.sh").alias("_sh"), F.col("_sb.bands").alias("_bands")
     ).where(F.col("_sh").isNotNull() & (F.size("_sh") > 0)) \
      .persist(StorageLevel.MEMORY_AND_DISK)
+    if cleanup is not None:
+        cleanup.append(base)
     # candidate generation joins on (bucket, id) ONLY — the shingle arrays
     # never enter the bucket-join shuffle; they re-attach for the verify step
     buckets = base.select("_id", F.explode("_bands").alias("_bucket"))
