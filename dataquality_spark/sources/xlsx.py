@@ -61,6 +61,11 @@ def _first_sheet_path(zf: zipfile.ZipFile) -> str:
     for rel in rels.iter():
         if _local(rel.tag) == "Relationship" and rel.get("Id") == rid:
             target = rel.get("Target")
+            # OOXML rel targets come in three shapes (all seen in the wild):
+            # package-absolute "/xl/worksheets/...", part-relative
+            # "worksheets/...", and already-prefixed "xl/worksheets/..."
+            if target.startswith("/"):
+                return target[1:]
             return target if target.startswith("xl/") else f"xl/{target}"
     return "xl/worksheets/sheet1.xml"  # conventional fallback
 
