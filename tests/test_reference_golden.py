@@ -145,3 +145,60 @@ def test_log_scores_readable_via_own_xlsx_reader():
         "One_Line_Summary", "Errors", "Why_Did_the_Test_Fail"]
     assert len(log) == 21
     assert set(log.loc[log["Test"] == "A1", "Score"]) == {"63.64%"}
+
+
+def test_c3_province_similarity_score(spark, fixture_pdf):
+    """C3 (`dimensions/consistency/c3.py:36-69`): normalize (incl. the
+    reference's province-abbreviation expansion), best similarity vs the 13
+    territory names, pass at >= 0.91, average the two columns — must equal
+    the logged 86.36%.
+
+    Pins an important semantic: the reference's `Levenshtein.ratio` is the
+    INDEL similarity 2M/(la+lb) (= difflib's ratio on these strings, our
+    `seq_ratio_udf`), NOT 1 - lev/max_len — the latter scores 68.18% here.
+    """
+    from dataquality_spark.operators.c1 import seq_ratio_udf
+    abbr = {"BC": "British Columbia", "ON": "Ontario", "QC": "Quebec",
+            "AB": "Alberta", "MB": "Manitoba", "SK": "Saskatchewan",
+            "NS": "Nova Scotia", "NB": "New Brunswick",
+            "NL": "Newfoundland and Labrador", "PE": "Prince Edward Island",
+            "NT": "Northwest Territories", "YT": "Yukon", "NU": "Nunavut"}
+    ref = spark.createDataFrame(
+        [(v.lower(),) for v in abbr.values()], "ref string")
+
+    def norm(col):
+        t = F.lower(F.trim(col.cast("string")))
+        for a, full in abbr.items():
+            t = F.regexp_replace(t, rf"\b{a.lower()}\b", full.lower())
+        t = F.regexp_replace(t, r"[^a-z0-9\s]", "")
+        return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+    col_scores = []
+    for c in ["PROVINCE", "PROVINCE_OTHER"]:
+        vals = (_sdf(spark, fixture_pdf, [c])
+                .where(F.col(c).isNotNull())
+                .select(norm(F.col(c)).alias("v"),
+                        F.monotonically_increasing_id().alias("_row")))
+        # per ROW, not per distinct value — the reference scores the dropna'd
+        # series, so repeated values count once per occurrence
+        scored = (vals.crossJoin(F.broadcast(ref))
+                  .withColumn("r", seq_ratio_udf()(F.col("v"), F.col("ref")))
+                  .groupBy("_row").agg(F.max("r").alias("best")))
+        agg = scored.agg(
+            F.avg((F.col("best") >= 0.91).cast("double"))).collect()[0][0]
+        col_scores.append(agg)
+    final = sum(col_scores) / len(col_scores)
+    assert f"{final * 100:.2f}%" == "86.36%"
+
+
+def test_c1_projname_no_near_dups(spark, fixture_pdf):
+    """C1 on PROJ_NAME at 0.91 found no inconsistent near-duplicates in the
+    fixture (logged 100%): our LSH-candidate best-match must agree — zero
+    matches above threshold among the project names."""
+    from dataquality_spark.operators.c1 import c1_best_match
+    df = (_sdf(spark, fixture_pdf, ["PROJ_NAME"])
+          .where(F.col("PROJ_NAME").isNotNull())
+          .withColumn("url", F.col("PROJ_NAME")))
+    out = c1_best_match(df, id_col="url", text_col="PROJ_NAME",
+                        threshold=0.91)
+    assert out.count() == 0
