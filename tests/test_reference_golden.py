@@ -202,3 +202,17 @@ def test_c1_projname_no_near_dups(spark, fixture_pdf):
     out = c1_best_match(df, id_col="url", text_col="PROJ_NAME",
                         threshold=0.91)
     assert out.count() == 0
+
+
+def test_a2_grouped_iqr_score(spark, fixture_pdf):
+    """A2 with the notebook's params (TOTAL_RETURN_TO_RIVER by SPECIES,
+    IQR factor 1.5, min group score 0.85): the reference logged 100.00% —
+    every species group's inlier share exceeds 0.85. Exercises the nested
+    two-level scoring (`a2.py:55-67`) and exact `percentile` (linear
+    interpolation, same as pandas `quantile`) on the reference's own data."""
+    from dataquality_spark.functions.stats import iqr_group_score
+    df = _sdf(spark, fixture_pdf, ["SPECIES", "TOTAL_RETURN_TO_RIVER"])
+    row = iqr_group_score(df, "SPECIES", "TOTAL_RETURN_TO_RIVER",
+                          factor=1.5, min_score=0.85).collect()[0]
+    assert row["n_groups"] == 5
+    assert f"{row['a2_score'] * 100:.2f}%" == "100.00%"
