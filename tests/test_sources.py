@@ -127,3 +127,18 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_labels")
+
+
+def test_run_rule_on_xlsx_input(spark, tmp_path):
+    """End-to-end S-2 integration: the uniform rule API accepts an .xlsx
+    dataset path exactly like the reference's read_data dispatch."""
+    from dataquality_spark.api import run_rule
+    pdf = pd.DataFrame({
+        "url": ["u1", "u2", "u3"],
+        "text": ["word " * 60, "tiny", "another document " * 30],
+        "lang": ["en", "en", "en"],
+    })
+    p = str(tmp_path / "pages.xlsx")
+    write_xlsx(pdf, p)
+    score, _ = run_rule(spark, p, "min_words")
+    assert score == pytest.approx(2 / 3)
