@@ -135,6 +135,11 @@ def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
 
 
 _INVALID_SHEETNAME = re.compile(r"[][*?/\\:]")
+# XML 1.0 forbids these code points even escaped; Excel itself refuses such
+# files. Web text can legitimately contain them — strip on write (the same
+# policy openpyxl applies).
+_XML_INVALID = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
 
 _CONTENT_TYPES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -183,7 +188,7 @@ def _cell_xml(value: object) -> str:
     if isinstance(value, (int, float)):
         return f"<c><v>{value}</v></c>"
     return f'<c t="inlineStr"><is><t xml:space="preserve">' \
-           f"{escape(str(value))}</t></is></c>"
+           f"{escape(_XML_INVALID.sub('', str(value)))}</t></is></c>"
 
 
 def write_xlsx(pdf: pd.DataFrame, path: str, sheet_name: str = "Sheet1") -> None:

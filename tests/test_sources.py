@@ -142,3 +142,38 @@ def test_run_rule_on_xlsx_input(spark, tmp_path):
     write_xlsx(pdf, p)
     score, _ = run_rule(spark, p, "min_words")
     assert score == pytest.approx(2 / 3)
+
+
+def test_xlsx_roundtrip_property():
+    """Property: any table of XML-legal text + finite numerics survives the
+    write→read round trip; XML-invalid control chars are stripped on write
+    (openpyxl's policy) rather than corrupting the file."""
+    from hypothesis import given, settings, strategies as st
+    import re
+    xml_invalid = re.compile(
+        "[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+    text = st.text(min_size=0, max_size=40)
+    num = st.floats(allow_nan=False, allow_infinity=False,
+                    width=32).map(float)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.tuples(text, num, st.booleans()),
+                    min_size=1, max_size=8))
+    def check(rows):
+        import tempfile, os
+        pdf = pd.DataFrame(rows, columns=["s", "x", "b"])
+        fd, p = tempfile.mkstemp(suffix=".xlsx")
+        os.close(fd)
+        try:
+            write_xlsx(pdf, p)
+            back = read_xlsx_pdf(p)
+        finally:
+            os.unlink(p)
+        for i, (s, x, b) in enumerate(rows):
+            want = xml_invalid.sub("", s)
+            got = back["s"][i]
+            assert (got or "") == want, (got, want)
+            assert back["x"][i] == pytest.approx(x)
+            assert bool(back["b"][i]) == b
+
+    check()
