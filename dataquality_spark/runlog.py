@@ -85,3 +85,21 @@ def append_run_log(spark: SparkSession, cat: ManifestCatalog,
 def read_run_log(spark: SparkSession, cat: ManifestCatalog,
                  table: str = "run_log") -> DataFrame:
     return cat.read(spark, table)
+
+
+def export_run_log_xlsx(spark: SparkSession, cat: ManifestCatalog,
+                        path: str, table: str = "run_log") -> None:
+    """Write the run log as a reference-format ``DQS_Output_Log`` workbook
+    (S-6 interop): same column roster, Score as the reference's percentage
+    string (`core_operations.py:76-79` — falsy score → '0%'), Threshold as
+    the value or the literal 'no threshold' (`:86`). A file produced here
+    reads back with both this repo's reader and the reference's pandas
+    ``read_data``."""
+    from dataquality_spark.sources.xlsx import write_xlsx
+    pdf = read_run_log(spark, cat, table).toPandas()[RUN_LOG_COLUMNS]
+    pdf["Score"] = pdf["Score"].map(
+        lambda v: "0%" if v is None or pd.isna(v) or not v
+        else f"{float(v) * 100:.2f}%")
+    pdf["Threshold"] = pdf["Threshold"].map(
+        lambda v: v if v else "no threshold")
+    write_xlsx(pdf, path, sheet_name="Sheet1")

@@ -30,3 +30,27 @@ def test_append_and_schema(spark, tmp_path):
     assert row["One_Line_Summary"] == "5 of 100 documents have null/blank text"
     assert row["Score"] == 0.95
     assert len(cat.snapshots("run_log")) == 2
+
+
+def test_export_run_log_xlsx_reference_format(spark, tmp_path):
+    """Exported workbook carries the reference log schema with its exact
+    Score/Threshold string conventions, and round-trips through the repo's
+    own XLSX reader."""
+    from dataquality_spark.catalog import ManifestCatalog
+    from dataquality_spark.runlog import append_run_log, export_run_log_xlsx
+    from dataquality_spark.sources.xlsx import read_xlsx_pdf
+    cat = ManifestCatalog(str(tmp_path / "cat"))
+    append_run_log(spark, cat, "corpus_v1", [
+        {"rule_id": "min_words", "pass_count": 7, "fail_count": 4,
+         "score": 7 / 11},
+        {"rule_id": "dedup", "pass_count": 5, "fail_count": 0, "score": None},
+    ])
+    p = str(tmp_path / "DQS_Output_Log_Test.xlsx")
+    export_run_log_xlsx(spark, cat, p)
+    back = read_xlsx_pdf(p)
+    from dataquality_spark.runlog import RUN_LOG_COLUMNS
+    assert list(back.columns) == RUN_LOG_COLUMNS
+    by_test = back.set_index("Test")
+    assert by_test.loc["min_words", "Score"] == "63.64%"
+    assert by_test.loc["dedup", "Score"] == "0%"
+    assert by_test.loc["min_words", "Threshold"] == "no threshold"
