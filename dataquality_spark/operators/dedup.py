@@ -297,3 +297,52 @@ def simhash_udf(shingle_n: int = 2):
         return pd.Series(out)
 
     return sim
+
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "url",
+                     text_col: str = "text", order_col: str | None = None,
+                     sep: str = "\n\n", salt_buckets: int = 64) -> DataFrame:
+    """Cross-document exact PARAGRAPH dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the paragraph/span-level
+    variant; C4 applies the same idea at three-sentence granularity): every
+    distinct non-blank paragraph survives only at its FIRST occurrence
+    (min (order, id, position)); later occurrences across AND within
+    documents are dropped, and each document's text is rebuilt from its
+    surviving paragraphs in original order joined by ``sep``.
+
+    Returns (id_col, text_col) with the deduplicated text ('' when every
+    paragraph was seen earlier). ``sep`` is a Java regex for the split and a
+    literal for the re-join — pass a literal-safe separator.
+
+    Scale shape: paragraphs cross the wire as 64-bit hashes only — the
+    winner aggregation is the same salted two-phase min as
+    ``exact_dedup_winners`` (hot paragraphs = boilerplate are exactly the
+    skew case), the text re-attaches via one hash equi-join, and
+    reconstruction is one groupBy(id) with ``sort_array`` — a bounded
+    number of engineered shuffles regardless of corpus size, never
+    shuffling full documents.
+    """
+    order_col = order_col or id_col
+    paras = (df.select(
+        F.col(id_col).alias("_id"), F.col(order_col).alias("_ord"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"))
+        .where(F.trim("_para") != ""))
+    hashed = paras.withColumn("_h", F.xxhash64("_para"))
+    salted = hashed.select(
+        "_h", F.pmod(F.xxhash64("_id"), F.lit(salt_buckets)).alias("_salt"),
+        F.struct("_ord", "_id", "_pos").alias("_k"))
+    partial = salted.groupBy("_h", "_salt").agg(F.min("_k").alias("_kp"))
+    winners = partial.groupBy("_h").agg(F.min("_kp").alias("_win"))
+    kept = (hashed.join(winners, "_h")
+            .where((F.col("_win._ord") == F.col("_ord"))
+                   & (F.col("_win._id") == F.col("_id"))
+                   & (F.col("_win._pos") == F.col("_pos"))))
+    recon = (kept.groupBy("_id")
+             .agg(F.concat_ws(sep, F.transform(
+                 F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                 lambda x: x["_para"])).alias("_dedup_text")))
+    return (df.select(F.col(id_col).alias("_id")).distinct()
+            .join(recon, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("_dedup_text", F.lit(""))
+                    .alias(text_col)))

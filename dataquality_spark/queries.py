@@ -1128,6 +1128,39 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.unionByName(shadow), threshold=0.999)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (Lee et al. 2022) with
+    full-text reconstruction — BYTE-EXACT oracle on the rebuilt strings.
+    The documents table is a flat word stream, so ' a ' serves as the
+    paragraph separator to exercise split → global first-occurrence winner
+    → in-order rebuild; semantics are separator-independent."""
+    from dataquality_spark.operators.dedup import dedup_paragraphs
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_paragraphs(docs, id_col="doc_id", text_col="text",
+                            sep=" a ").withColumnRenamed("text", "dedup_text")
+
+
+_SQL_PARAGRAPH_DEDUP = """
+WITH p AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' a ')) AS para,
+         unnest(range(1, len(string_split(text, ' a ')) + 1)) AS pos
+  FROM documents
+), np AS (
+  SELECT * FROM p WHERE trim(para) <> ''
+), w AS (
+  SELECT doc_id, para, pos,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM np
+)
+SELECT d.doc_id,
+       coalesce(string_agg(w.para, ' a ' ORDER BY w.pos), '') AS dedup_text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN (SELECT * FROM w WHERE rn = 1) w USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-1 normalization chain as a full-text exact oracle: lower → strip
     1-4 digit runs → keep alnum+space → collapse whitespace (reference
@@ -1309,6 +1342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
+    "paragraph_dedup": q_paragraph_dedup,
     "normalize_text": q_normalize_text,
     "cosine_allpairs": q_cosine_allpairs,
     "ivf_knn": q_ivf_knn,
@@ -1352,6 +1386,7 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
     "normalize_text": _SQL_NORMALIZE_TEXT,
     "cosine_allpairs": _SQL_COSINE_ALLPAIRS,
     "ivf_knn": _SQL_IVF_KNN,

@@ -147,3 +147,38 @@ def test_simhash_udf_matches_python_oracle(spark):
            df.select(simhash_udf()(F.col("text")).alias("sh")).collect()]
     want = [simhash64_py(shingles_py(t, 2)) for t in texts]
     assert got == want
+
+
+def test_dedup_paragraphs_semantics(spark):
+    """Cross-doc + within-doc paragraph dedup with reconstruction: first
+    occurrence (min (order, id, pos)) wins; blanks are not dedup keys; a
+    fully-duplicated document reconstructs to ''."""
+    from dataquality_spark.operators.dedup import dedup_paragraphs
+    rows = [
+        ("a", 1, "alpha\n\nbeta\n\nalpha"),       # within-doc dup of alpha
+        ("b", 2, "beta\n\ngamma"),                 # beta seen in a
+        ("c", 3, "alpha\n\nbeta"),                 # fully duplicated
+        ("d", 4, "delta\n\n\n\ndelta"),            # blank para + within dup
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    got = {r["url"]: r["text"]
+           for r in dedup_paragraphs(df, order_col="warc_ts").collect()}
+    assert got == {
+        "a": "alpha\n\nbeta",
+        "b": "gamma",
+        "c": "",
+        "d": "delta",
+    }
+
+
+def test_dedup_paragraphs_salt_invariance(spark):
+    from dataquality_spark.operators.dedup import dedup_paragraphs
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"p{(i * 7 + j) % 23}" for j in range(4)).replace(
+            " ", "\n\n"))
+         for i in range(40)], "doc_id long, text string")
+    a = sorted(dedup_paragraphs(docs, id_col="doc_id",
+                                salt_buckets=1).collect())
+    b = sorted(dedup_paragraphs(docs, id_col="doc_id",
+                                salt_buckets=97).collect())
+    assert a == b
