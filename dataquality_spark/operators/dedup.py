@@ -346,3 +346,29 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "url",
             .select(F.col("_id").alias(id_col),
                     F.coalesce("_dedup_text", F.lit(""))
                     .alias(text_col)))
+
+
+def suggest_salt_buckets(df: DataFrame, key: Column | str,
+                         sample_fraction: float = 0.01,
+                         target_rows_per_task: int = 1_000_000,
+                         max_buckets: int = 4096,
+                         seed: int = 17) -> int:
+    """Choose the salt factor from a cheap frequency sketch of the dedup key
+    (SURVEY §4.3(2): "K_hot chosen from a cheap count sketch").
+
+    One sampled aggregation estimates the hottest key's row count; the salt
+    factor is the power of two that splits that group into partial-aggregate
+    states of at most ``target_rows_per_task`` rows. Uniform keys → 1 (no
+    salting overhead); a mega-group (the viral-boilerplate case) → enough
+    buckets to spread it. Result correctness never depends on the estimate —
+    salting is min-associative (property-tested) — so a sampling miss only
+    costs balance, never output."""
+    col = F.col(key) if isinstance(key, str) else key
+    top = (df.sample(fraction=sample_fraction, seed=seed)
+           .groupBy(col.alias("_k")).agg(F.count(F.lit(1)).alias("_n"))
+           .agg(F.max("_n").alias("_m")).collect()[0]["_m"])
+    est_hottest = int((top or 0) / max(sample_fraction, 1e-9))
+    buckets = 1
+    while buckets < max_buckets and est_hottest > target_rows_per_task * buckets:
+        buckets *= 2
+    return buckets

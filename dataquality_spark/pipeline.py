@@ -40,7 +40,7 @@ def get_artifacts() -> dict:
 
 
 def run_pipeline(spark: SparkSession, pages: DataFrame,
-                 with_dedup: bool = True, salt_buckets: int = 64,
+                 with_dedup: bool = True, salt_buckets: int | str = 64,
                  persist: bool = True,
                  cleanup: list[DataFrame] | None = None) -> DataFrame:
     """pages → annotated frame with all rule flags, keep, scrubbed_text.
@@ -64,6 +64,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     from dataquality_spark.functions import text as TX
     from dataquality_spark.operators.dedup import exact_dedup_winners
 
+    if salt_buckets == "auto":
+        # SURVEY §4.3(2): pick the salt factor from a cheap frequency sketch
+        # of the dedup key (one sampled agg over hash-only columns). The
+        # estimate affects balance only — results are salt-invariant.
+        from dataquality_spark.operators.dedup import suggest_salt_buckets
+        salt_buckets = suggest_salt_buckets(
+            pages, TX.content_hash(F.col("text")))
     art = get_artifacts()
     # html is never consumed downstream (rules/models/scrub all read `text`);
     # dropping it here keeps it out of the persisted frame and the shuffle.

@@ -26,7 +26,8 @@ def main() -> int:
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--output", required=True, help="run directory")
     ap.add_argument("--chunks", type=int, default=8)
-    ap.add_argument("--salt-buckets", type=int, default=64)
+    ap.add_argument("--salt-buckets", default=64,
+                type=lambda v: v if v == "auto" else int(v))
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 

@@ -182,3 +182,17 @@ def test_dedup_paragraphs_salt_invariance(spark):
     b = sorted(dedup_paragraphs(docs, id_col="doc_id",
                                 salt_buckets=97).collect())
     assert a == b
+
+
+def test_suggest_salt_buckets_skew_vs_uniform(spark):
+    from dataquality_spark.operators.dedup import suggest_salt_buckets
+    uniform = spark.range(20_000).selectExpr("id AS k")
+    assert suggest_salt_buckets(
+        uniform, "k", sample_fraction=0.1,
+        target_rows_per_task=1000) == 1
+    skewed = spark.range(20_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k")  # 90% one key
+    got = suggest_salt_buckets(skewed, "k", sample_fraction=0.1,
+                               target_rows_per_task=1000)
+    assert got >= 16  # ~18k-row hot group / 1k target → >=16 buckets
+    # estimates only affect balance, never results (salt invariance holds)

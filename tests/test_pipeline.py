@@ -69,3 +69,20 @@ def test_decisions_schema(spark, artifacts):
                for r in rows)
     for f in cleanup:
         f.unpersist()
+
+
+def test_pipeline_auto_salt(spark, artifacts):
+    """salt_buckets='auto' picks the factor from the frequency sketch and
+    produces the identical decisions frame (salt invariance end-to-end)."""
+    from dataquality_spark.pipeline import run_pipeline
+    from dataquality_spark.synth import generate_pages
+    pages = generate_pages(spark, 400, seed=31, partitions=4)
+    cleanup = []
+    fixed = sorted((r["url"], r["keep"]) for r in run_pipeline(
+        spark, pages, cleanup=cleanup).select("url", "keep").collect())
+    auto = sorted((r["url"], r["keep"]) for r in run_pipeline(
+        spark, pages, salt_buckets="auto", cleanup=cleanup)
+        .select("url", "keep").collect())
+    for f in cleanup:
+        f.unpersist()
+    assert fixed == auto
