@@ -116,7 +116,10 @@ def read_xlsx_pdf(path: str) -> pd.DataFrame:
     for col in df.columns:  # pandas-style narrowing: all-int floats -> int64
         s = df[col]
         if s.map(lambda v: isinstance(v, float)).all() and len(s):
-            df[col] = s.astype("int64") if (s % 1 == 0).all() else s
+            # narrow only inside the float-exact integer range (|v| < 2^53);
+            # beyond it the cast is lossy and int64 can overflow
+            if (s % 1 == 0).all() and (s.abs() < float(1 << 53)).all():
+                df[col] = s.astype("int64")
     return df
 
 
@@ -187,8 +190,10 @@ def _cell_xml(value: object) -> str:
         return f'<c t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
         return f"<c><v>{value}</v></c>"
-    return f'<c t="inlineStr"><is><t xml:space="preserve">' \
-           f"{escape(_XML_INVALID.sub('', str(value)))}</t></is></c>"
+    # XML line-end normalization folds raw \r (and \r\n) to \n on parse;
+    # the character reference survives it, so CRs round-trip
+    body = escape(_XML_INVALID.sub("", str(value))).replace("\r", "&#13;")
+    return f'<c t="inlineStr"><is><t xml:space="preserve">{body}</t></is></c>'
 
 
 def write_xlsx(pdf: pd.DataFrame, path: str, sheet_name: str = "Sheet1") -> None:

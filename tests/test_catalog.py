@@ -49,3 +49,21 @@ def test_expire_snapshots_keeps_current_readable(spark, tmp_path):
     got = sorted(r["x"] for r in cat.read(spark, "t").collect())
     assert got == [3, 4, 5]              # shared append-chain dirs survive
     assert cat.expire_snapshots("t", keep_last=2) == []  # idempotent
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """A partitioned catalog write must let a partition filter prune at scan
+    time (the Parquet-manifest stand-in for Iceberg partition pruning): the
+    executed plan carries a PartitionFilters entry on `lang` and only the
+    matching partition's rows are read."""
+    cat = ManifestCatalog(str(tmp_path))
+    df = spark.createDataFrame(pd.DataFrame({
+        "url": [f"u{i}" for i in range(40)],
+        "lang": ["en" if i % 4 else "de" for i in range(40)],
+        "n": list(range(40)),
+    }))
+    cat.write(df, "pages_part", partition_by=["lang"])
+    got = cat.read(spark, "pages_part").where("lang = 'de'")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert got.count() == 10

@@ -156,7 +156,7 @@ def test_xlsx_roundtrip_property():
     num = st.floats(allow_nan=False, allow_infinity=False,
                     width=32).map(float)
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=60, deadline=None)
     @given(st.lists(st.tuples(text, num, st.booleans()),
                     min_size=1, max_size=8))
     def check(rows):
