@@ -216,3 +216,41 @@ def test_a2_grouped_iqr_score(spark, fixture_pdf):
                           factor=1.5, min_score=0.85).collect()[0]
     assert row["n_groups"] == 5
     assert f"{row['a2_score'] * 100:.2f}%" == "100.00%"
+
+
+def test_p2_null_association_pairs(spark):
+    """P2 on the OTHER logged dataset revision: its P1 golden evidence is
+    that revision's full table, and the P2 golden lists the above-threshold
+    null-missingness correlations with exact coefficients. The engine's
+    batched association matrix must reproduce every golden pair over the
+    available columns to 1e-9 and find no extra pair above 0.5 (two golden
+    pairs involve columns P1's evidence excludes — Contact/Recruits_Wild —
+    and are skipped, documented)."""
+    from dataquality_spark.functions.stats import association_matrix
+    f2 = pd.read_csv(GOLD + "p1_output_v1.csv")
+    g2 = pd.read_csv(GOLD + "p2_output_v1.csv")
+    # P2 drops Comment/Comments before screening (`p2.py:37-41`)
+    f2 = f2.drop(columns=[c for c in ("Comment", "Comments")
+                          if c in f2.columns])
+    cols = [c for c in f2.columns if f2[c].isna().sum() > 0]
+    ind = spark.createDataFrame(
+        f2[cols].isna().astype(int).rename(
+            columns={c: f"c{i}" for i, c in enumerate(cols)}))
+    name = {c: f"c{i}" for i, c in enumerate(cols)}
+    m = association_matrix(ind, nominal=[], numeric=list(name.values()))
+
+    checked = 0
+    ours_above = {tuple(sorted((a, b)))
+                  for (a, b), v in m.items() if abs(v) > 0.5}
+    golden_above = set()
+    for _, r in g2.iterrows():
+        a, b = r["var1"], r["var2"]
+        if a not in name or b not in name:
+            continue  # column excluded from the P1 evidence table
+        key = tuple(sorted((name[a], name[b])))
+        golden_above.add(key)
+        got = m.get((name[a], name[b]), m.get((name[b], name[a])))
+        assert abs(got - r["corr_coeff"]) < 1e-9, (a, b, got)
+        checked += 1
+    assert checked == 6
+    assert ours_above == golden_above  # completeness: no extra pairs
