@@ -254,3 +254,17 @@ def test_p2_null_association_pairs(spark):
         checked += 1
     assert checked == 6
     assert ours_above == golden_above  # completeness: no extra pairs
+
+
+def test_p1_completeness_score(spark):
+    """P1's golden evidence is the post-threshold kept-column frame; the
+    dataset-level completeness (non-null cells / total cells, `p1.py:54-56`)
+    computed by the engine's one-pass per-column aggregation must equal the
+    logged 75.21%."""
+    f2 = pd.read_csv(GOLD + "p1_output_v1.csv")
+    df = _sdf(spark, f2, list(f2.columns))
+    aggs = [F.avg(F.col(f"`{c}`").isNotNull().cast("double")).alias(c)
+            for c in df.columns]
+    row = df.agg(*aggs).collect()[0]
+    score = sum(row) / len(df.columns)
+    assert f"{score * 100:.2f}%" == "75.21%"
