@@ -201,3 +201,48 @@ def content_hash(text: Column, normalize: bool = False) -> Column:
     hot path.
     """
     return F.xxhash64(normalize_text(text) if normalize else text)
+
+
+import re as _re
+
+_WS_ASCII = _re.compile(r"\s+", _re.ASCII)
+
+
+def top_ngram_char_frac_py(text: str | None, n: int) -> float:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1): the largest
+    character mass any single word n-gram accounts for, as a fraction of the
+    normalized (single-spaced) text — max over grams of
+    count * len(gram) / len(' '.join(words)). ASCII-whitespace split, same
+    convention the token stats pin for cross-engine parity. 0.0 for empty
+    text or fewer than n words."""
+    if not text:
+        return 0.0
+    ws = _WS_ASCII.split(text.strip())
+    if len(ws) < n or ws == [""]:
+        return 0.0
+    total = len(" ".join(ws))
+    if total == 0:
+        return 0.0
+    from collections import Counter
+    cnt = Counter(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+    return max(c * len(g) for g, c in cnt.items()) / total
+
+
+def repetition_udf():
+    """pandas UDF: text → struct(top2_frac, top3_frac double).
+
+    Row-local by design: the explode → groupBy(doc, gram) formulation would
+    shuffle |corpus| × |words| rows — a per-document statistic must never
+    cost a corpus-wide exchange. One Counter pass per doc, Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def rep(text_s):
+        return pd.DataFrame({
+            "top2_frac": [top_ngram_char_frac_py(t, 2) for t in text_s],
+            "top3_frac": [top_ngram_char_frac_py(t, 3) for t in text_s],
+        })
+
+    # hint-free form: this module has no module-level pandas import for
+    # annotation resolution (it is the native-expressions module)
+    return F.pandas_udf(rep, "struct<top2_frac: double, top3_frac: double>")

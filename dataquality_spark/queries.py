@@ -1128,6 +1128,51 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.unionByName(shadow), threshold=0.999)
 
 
+def q_repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1): per document, the
+    largest character mass any single word 2-gram / 3-gram accounts for.
+    Spark side is a row-local Arrow UDF (a per-doc stat must never cost an
+    explode + corpus-wide groupBy shuffle); the oracle computes the same
+    number the relational way — unnest, count, max — which is fine at
+    oracle scale and would be the wrong plan at 100 TB."""
+    from dataquality_spark.functions.text import repetition_udf
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.withColumn("_r", repetition_udf()(F.col("text")))
+            .select("doc_id",
+                    F.round("_r.top2_frac", 6).alias("top2_frac"),
+                    F.round("_r.top3_frac", 6).alias("top3_frac")))
+
+
+def _sql_topngram(n: int) -> str:
+    return f"""
+  SELECT doc_id, max(cnt * length(gram)) AS mx
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt
+    FROM (
+      SELECT doc_id,
+             array_to_string(ws[i:i+{n - 1}], ' ') AS gram
+      FROM w, unnest(range(1, len(ws) - {n - 2})) AS t(i)
+      WHERE len(ws) >= {n}
+    ) GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+"""
+
+
+_SQL_REPETITION = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws,
+         length(array_to_string({_SQL_WORDS}, ' ')) AS total
+  FROM documents
+), g2 AS ({_sql_topngram(2)}), g3 AS ({_sql_topngram(3)})
+SELECT w.doc_id,
+       round(CASE WHEN total > 0 THEN coalesce(g2.mx, 0)::double / total
+                  ELSE 0 END, 6) AS top2_frac,
+       round(CASE WHEN total > 0 THEN coalesce(g3.mx, 0)::double / total
+                  ELSE 0 END, 6) AS top3_frac
+FROM w LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+"""
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document paragraph-level exact dedup (Lee et al. 2022) with
     full-text reconstruction — BYTE-EXACT oracle on the rebuilt strings.
@@ -1355,6 +1400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
+    "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
     "normalize_text": q_normalize_text,
     "cosine_allpairs": q_cosine_allpairs,
@@ -1399,6 +1445,7 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "repetition_topngram": _SQL_REPETITION,
     "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
     "normalize_text": _SQL_NORMALIZE_TEXT,
     "cosine_allpairs": _SQL_COSINE_ALLPAIRS,

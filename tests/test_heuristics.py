@@ -108,3 +108,14 @@ def test_fx_metrics_counts_sum(spark):
     assert ((m["pass_count"] + m["fail_count"]) == 60).all()
     nonempty = m.set_index("rule_id").loc["nonempty"]
     assert nonempty["score"] == pytest.approx(0.5)
+
+
+def test_top_ngram_char_frac_kernel():
+    """Repetition-signal spec: max char mass of any word n-gram over the
+    single-spaced text (Rae et al. 2021 §A1.1 shape)."""
+    from dataquality_spark.functions.text import top_ngram_char_frac_py as f
+    assert f("a b a b a b", 2) == pytest.approx(9 / 11)  # 'a b' ×3, len 3
+    assert f("x y z", 3) == 1.0                          # whole text one gram
+    assert f("", 2) == 0.0 and f(None, 2) == 0.0
+    assert f("one", 2) == 0.0                            # fewer words than n
+    assert f("spam spam spam spam", 2) == pytest.approx(27 / 19)  # can exceed 1
