@@ -77,7 +77,7 @@ HEADLINE_QUERIES = [
     "membership_semijoin", "chronology", "rowsum_check",
     "minhash_lsh_neardup", "embedding_knn", "fingerprint",
     "c1_neardup_rescue", "iqr_group_score", "simhash_buckets",
-    "ivf_knn", "cosine_allpairs", "paragraph_dedup",
+    "ivf_knn", "cosine_allpairs", "paragraph_dedup", "repetition_topngram",
 ]
 
 
