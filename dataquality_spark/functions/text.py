@@ -228,6 +228,24 @@ def top_ngram_char_frac_py(text: str | None, n: int) -> float:
     return max(c * len(g) for g, c in cnt.items()) / total
 
 
+def dup_ngram_char_frac_py(text: str | None, n: int) -> float:
+    """The companion Gopher signal (Rae et al. 2021 A1.1, n in 5..10):
+    character mass of ALL word n-grams occurring more than once, over the
+    single-spaced text — sum over duplicated grams of count * len(gram) /
+    total (the standard overlap-counting simplification)."""
+    if not text:
+        return 0.0
+    ws = _WS_ASCII.split(text.strip())
+    if len(ws) < n or ws == [""]:
+        return 0.0
+    total = len(" ".join(ws))
+    if total == 0:
+        return 0.0
+    from collections import Counter
+    cnt = Counter(" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1))
+    return sum(c * len(g) for g, c in cnt.items() if c >= 2) / total
+
+
 def repetition_udf():
     """pandas UDF: text → struct(top2_frac, top3_frac double).
 
@@ -241,8 +259,9 @@ def repetition_udf():
         return pd.DataFrame({
             "top2_frac": [top_ngram_char_frac_py(t, 2) for t in text_s],
             "top3_frac": [top_ngram_char_frac_py(t, 3) for t in text_s],
+            "dup5_frac": [dup_ngram_char_frac_py(t, 5) for t in text_s],
         })
 
     # hint-free form: this module has no module-level pandas import for
     # annotation resolution (it is the native-expressions module)
-    return F.pandas_udf(rep, "struct<top2_frac: double, top3_frac: double>")
+    return F.pandas_udf(rep, "struct<top2_frac: double, top3_frac: double, dup5_frac: double>")

@@ -1140,7 +1140,8 @@ def q_repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.withColumn("_r", repetition_udf()(F.col("text")))
             .select("doc_id",
                     F.round("_r.top2_frac", 6).alias("top2_frac"),
-                    F.round("_r.top3_frac", 6).alias("top3_frac")))
+                    F.round("_r.top3_frac", 6).alias("top3_frac"),
+                    F.round("_r.dup5_frac", 6).alias("dup5_frac")))
 
 
 def _sql_topngram(n: int) -> str:
@@ -1163,13 +1164,27 @@ WITH w AS (
   SELECT doc_id, {_SQL_WORDS} AS ws,
          length(array_to_string({_SQL_WORDS}, ' ')) AS total
   FROM documents
-), g2 AS ({_sql_topngram(2)}), g3 AS ({_sql_topngram(3)})
+), g2 AS ({_sql_topngram(2)}), g3 AS ({_sql_topngram(3)}),
+d5 AS (
+  SELECT doc_id, sum(cnt * length(gram)) AS dup
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt
+    FROM (
+      SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM w, unnest(range(1, len(ws) - 3)) AS t(i)
+      WHERE len(ws) >= 5
+    ) GROUP BY doc_id, gram HAVING count(*) >= 2
+  ) GROUP BY doc_id
+)
 SELECT w.doc_id,
        round(CASE WHEN total > 0 THEN coalesce(g2.mx, 0)::double / total
                   ELSE 0 END, 6) AS top2_frac,
        round(CASE WHEN total > 0 THEN coalesce(g3.mx, 0)::double / total
-                  ELSE 0 END, 6) AS top3_frac
+                  ELSE 0 END, 6) AS top3_frac,
+       round(CASE WHEN total > 0 THEN coalesce(d5.dup, 0)::double / total
+                  ELSE 0 END, 6) AS dup5_frac
 FROM w LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+       LEFT JOIN d5 USING (doc_id)
 """
 
 

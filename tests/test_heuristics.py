@@ -119,3 +119,11 @@ def test_top_ngram_char_frac_kernel():
     assert f("", 2) == 0.0 and f(None, 2) == 0.0
     assert f("one", 2) == 0.0                            # fewer words than n
     assert f("spam spam spam spam", 2) == pytest.approx(27 / 19)  # can exceed 1
+
+
+def test_dup_ngram_char_frac_kernel():
+    from dataquality_spark.functions.text import dup_ngram_char_frac_py as f
+    # 'a b c d e' 5-gram occurs twice (len 9, x2 = 18; total 21)
+    assert f("a b c d e a b c d e x", 5) == pytest.approx(18 / 21)
+    assert f("unique words only here now", 5) == 0.0
+    assert f("", 5) == 0.0 and f("a b", 5) == 0.0
