@@ -263,5 +263,9 @@ def repetition_udf():
         })
 
     # hint-free form: this module has no module-level pandas import for
-    # annotation resolution (it is the native-expressions module)
-    return F.pandas_udf(rep, "struct<top2_frac: double, top3_frac: double, dup5_frac: double>")
+    # annotation resolution (it is the native-expressions module).
+    # nondeterministic stops Catalyst re-evaluating the UDF once per
+    # extracted struct field (the same fix measured in models/udf.py)
+    return F.pandas_udf(
+        rep, "struct<top2_frac: double, top3_frac: double, dup5_frac: double>"
+    ).asNondeterministic()
