@@ -14,7 +14,14 @@ The run log (read with this repo's own stdlib XLSX reader) supplies the
 reference's scores; A1's logged 63.64% is reproduced exactly. U1's golden
 evidence comes from the OTHER logged run (different dataset revision — its
 P1 score differs), so it is used as a self-contained duplicate-pair input
-rather than matched against this fixture.
+rather than matched against this fixture; P1/P2 reproduce from that
+revision's own evidence table (the logged 75.21% completeness and every
+recoverable association coefficient to 1e-9).
+
+Published results reproduce for 12 of the reference's 14 tests. The two
+exceptions, verified irrecoverable: C2 needs an external (OneDrive)
+reference dataset; I1 ran on a third dataset state — its sensitive columns
+and coefficients match no recoverable table (checked empirically).
 """
 
 import numpy as np
