@@ -269,3 +269,32 @@ def repetition_udf():
     return F.pandas_udf(
         rep, "struct<top2_frac: double, top3_frac: double, dup5_frac: double>"
     ).asNondeterministic()
+
+
+def canonical_url(url):
+    """Deterministic URL canonicalization for web-crawl keys — the standard
+    pre-dedup normalization (crawl frameworks apply the same chain before
+    URL-level dedup): lowercase scheme+host, strip default ports (:80 http,
+    :443 https), drop the fragment, remove tracking parameters
+    (utm_*, gclid, fbclid) with separator repair, drop trailing slashes.
+    Pure native regexp chain — byte-exactly mirrored by the DuckDB oracle
+    (`canonical_url` query). Host is kept verbatim apart from case/port
+    (no www-stripping: that conflates distinct origins)."""
+    from pyspark.sql import functions as F
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, r":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(host, r":443$", "")) \
+            .otherwise(host)
+    rest = F.regexp_replace(
+        rest, r"[?&](utm_[^=&]*|gclid|fbclid)=[^&]*", "")
+    # if the leading '?' param was removed, promote the first '&' to '?'
+    rest = F.regexp_replace(rest, r"^([^?&]*)&", r"$1?")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")   # dangling separator
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, rest))

@@ -1128,6 +1128,66 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.unionByName(shadow), threshold=0.999)
 
 
+def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl-key normalization before URL-level
+    dedup): both engines synthesize the SAME messy URL per event row —
+    uppercase scheme/host, default port, tracking params in every position,
+    fragments, trailing slashes — and the oracle hash-compares the
+    canonical form byte-for-byte (Spark native regexp chain vs the same
+    chain in DuckDB/RE2)."""
+    from dataquality_spark.functions.text import canonical_url
+    ev = _t(spark, sf_dir, "events")
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Site"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".EXAMPLE:443/p/"), F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 4 == 0,
+               F.concat(F.lit("?utm_source=a&q="),
+                        F.floor("value").cast("int").cast("string"),
+                        F.lit("#frag")))
+         .when(F.col("event_id") % 4 == 1, F.lit("/?gclid=xx"))
+         .when(F.col("event_id") % 4 == 2, F.lit("?q=1&fbclid=y&r=2"))
+         .otherwise(F.lit("///")))
+    return ev.select("event_id", canonical_url(messy).alias("canon"))
+
+
+_SQL_CANONICAL_URL = r"""
+WITH m AS (
+  SELECT event_id,
+         'HTTPS://WWW.Site' || (user_id % 50)::varchar || '.EXAMPLE:443/p/'
+         || event_id::varchar ||
+         CASE event_id % 4
+           WHEN 0 THEN '?utm_source=a&q=' || floor(value)::int::varchar || '#frag'
+           WHEN 1 THEN '/?gclid=xx'
+           WHEN 2 THEN '?q=1&fbclid=y&r=2'
+           ELSE '///' END AS u
+  FROM events
+), parts AS (
+  SELECT event_id,
+         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS host,
+         regexp_extract(u, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS rest, u
+  FROM m
+), fixed AS (
+  SELECT event_id, sch,
+         CASE WHEN sch = 'http' THEN regexp_replace(host, ':80$', '')
+              WHEN sch = 'https' THEN regexp_replace(host, ':443$', '')
+              ELSE host END AS host,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(rest, '[?&](utm_[^=&]*|gclid|fbclid)=[^&]*',
+                              '', 'g'),
+               '^([^?&]*)&', '\1?'),
+             '[?&]+$', ''),
+           '/+$', '') AS rest, u
+  FROM parts
+)
+SELECT event_id,
+       CASE WHEN sch = '' THEN u ELSE sch || '://' || host || rest END AS canon
+FROM fixed
+"""
+
+
 def q_repetition_topngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021 §A1.1): per document, the
     largest character mass any single word 2-gram / 3-gram accounts for.
@@ -1415,6 +1475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
+    "canonical_url": q_canonical_url,
     "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
     "normalize_text": q_normalize_text,
@@ -1460,6 +1521,7 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "canonical_url": _SQL_CANONICAL_URL,
     "repetition_topngram": _SQL_REPETITION,
     "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
     "normalize_text": _SQL_NORMALIZE_TEXT,

@@ -127,3 +127,20 @@ def test_dup_ngram_char_frac_kernel():
     assert f("a b c d e a b c d e x", 5) == pytest.approx(18 / 21)
     assert f("unique words only here now", 5) == 0.0
     assert f("", 5) == 0.0 and f("a b", 5) == 0.0
+
+
+def test_canonical_url_cases(spark):
+    from dataquality_spark.functions.text import canonical_url
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/P/?utm_source=x&id=3&utm_medium=y#f":
+            "https://www.ex.com/P/?id=3",
+        "http://host:80/a/b///": "http://host/a/b",
+        "https://h.example/p?gclid=abc": "https://h.example/p",
+        "https://h.example/p?a=1&fbclid=z&b=2": "https://h.example/p?a=1&b=2",
+        "https://h.example:8443/p": "https://h.example:8443/p",  # odd port kept
+        "not a url": "not a url",                                # passthrough
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["c"] for r in
+           df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases
