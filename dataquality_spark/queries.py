@@ -1128,6 +1128,54 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.unionByName(shadow), threshold=0.999)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity cut): per user, a new
+    session starts when the gap from the previous event exceeds the
+    timeout; sessions are numbered by a running sum over the lag flag —
+    the standard two-window composite, one shuffle on user_id reused by
+    both windows (lag and cumsum share the partitioning). Emits per-session
+    rollups."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact epoch: unix_timestamp truncates to seconds, which
+    # would split sessions differently from a fractional-epoch engine
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ep - F.lag(ep).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (ev.withColumn("_new", new_s)
+            .withColumn("session_no", F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("long")))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 ((F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                   - F.min(F.unix_micros(F.col("ts").cast("timestamp"))))
+                  ).alias("duration_us"),
+                 F.round(F.sum("value"), 4).alias("session_value")))
+
+
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::bigint AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       count(*)::bigint AS n_events,
+       (max(epoch_us(ts)) - min(epoch_us(ts)))::bigint AS duration_us,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
 def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (crawl-key normalization before URL-level
     dedup): both engines synthesize the SAME messy URL per event row —
@@ -1475,6 +1523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
+    "sessionize": q_sessionize,
     "canonical_url": q_canonical_url,
     "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
@@ -1521,6 +1570,7 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "sessionize": _SQL_SESSIONIZE,
     "canonical_url": _SQL_CANONICAL_URL,
     "repetition_topngram": _SQL_REPETITION,
     "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
