@@ -1128,6 +1128,33 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.unionByName(shadow), threshold=0.999)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (the operator Spark's built-ins lack): each
+    click event picks up the value of the user's most recent error event
+    at-or-before its timestamp. Spark side is the union-marker single-window
+    formulation (`operators/asof.py` — one exchange, never a range join);
+    the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from dataquality_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts", "value"))
+    errors = (ev.where(F.col("event_type") == "error")
+              .select("user_id", "ts",
+                      F.col("value").alias("last_error_value")))
+    out = asof_join(clicks, errors, on="user_id",
+                    left_time="ts", right_time="ts",
+                    value_cols=["last_error_value"])
+    return out.select("event_id", "user_id", "value", "last_error_value")
+
+
+_SQL_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, l.value, r.value AS last_error_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity cut): per user, a new
     session starts when the gap from the previous event exceeds the
@@ -1523,6 +1550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
+    "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "canonical_url": q_canonical_url,
     "repetition_topngram": q_repetition_topngram,
@@ -1570,6 +1598,7 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "asof_join": _SQL_ASOF_JOIN,
     "sessionize": _SQL_SESSIONIZE,
     "canonical_url": _SQL_CANONICAL_URL,
     "repetition_topngram": _SQL_REPETITION,
