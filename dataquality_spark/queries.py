@@ -1128,6 +1128,57 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.unionByName(shadow), threshold=0.999)
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join via bin bucketization (equi-join on
+    bins + residual filter — never a BroadcastNestedLoopJoin): event values
+    against part-derived intervals [2*p_size, 2*p_size + 7)."""
+    from dataquality_spark.operators.rangejoin import range_join
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    part = (_t(spark, sf_dir, "part")
+            .where(F.col("p_partkey") % 20 == 0)
+            .select("p_partkey",
+                    (2.0 * F.col("p_size")).alias("lo"),
+                    (2.0 * F.col("p_size") + 7).alias("hi")))
+    out = range_join(ev, part, point_col="value",
+                     start_col="lo", end_col="hi", bin_width=8.0)
+    return out.select("event_id", "p_partkey", "value")
+
+
+_SQL_RANGE_JOIN = """
+SELECT e.event_id, p.p_partkey, e.value
+FROM events e
+JOIN (SELECT p_partkey, 2.0 * p_size AS lo, 2.0 * p_size + 7 AS hi
+      FROM part WHERE p_partkey % 20 = 0) p
+  ON p.lo <= e.value AND e.value < p.hi
+"""
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: one pass produces
+    hourly, daily, and grand-total buckets via native grouping sets
+    (Catalyst expands them in a single aggregation — the continuous-
+    aggregate pattern without a second scan per granularity)."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value")
+    return (b.groupingSets([["day", "hour"], ["day"], []], "day", "hour")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("total"),
+                 F.grouping_id().alias("gid")))
+
+
+_SQL_HYPERTABLE_ROLLUP = """
+SELECT day, hour, count(*)::bigint AS n, round(sum(value), 4) AS total,
+       grouping(day, hour)::bigint AS gid
+FROM (SELECT date_trunc('day', ts)::timestamp AS day,
+             date_trunc('hour', ts)::timestamp AS hour, value
+      FROM events)
+GROUP BY GROUPING SETS ((day, hour), (day), ())
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the operator Spark's built-ins lack): each
     click event picks up the value of the user's most recent error event
@@ -1551,6 +1602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "hypertable_rollup": q_hypertable_rollup,
     "sessionize": q_sessionize,
     "canonical_url": q_canonical_url,
     "repetition_topngram": q_repetition_topngram,
@@ -1599,6 +1652,8 @@ ORACLE_SQL: dict[str, str] = {
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
     "asof_join": _SQL_ASOF_JOIN,
+    "range_join": _SQL_RANGE_JOIN,
+    "hypertable_rollup": _SQL_HYPERTABLE_ROLLUP,
     "sessionize": _SQL_SESSIONIZE,
     "canonical_url": _SQL_CANONICAL_URL,
     "repetition_topngram": _SQL_REPETITION,

@@ -37,3 +37,24 @@ def test_asof_plan_single_exchange(spark):
     s = buf.getvalue()
     assert len(re.findall(r"\(\d+\) Exchange", s)) == 1  # union-window shape
     assert "Join" not in s  # never a range/nested-loop join
+
+
+def test_range_join_semantics_and_plan(spark):
+    from dataquality_spark.operators.rangejoin import range_join
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 19.9), (4, 20.0)], "id long, v double")
+    iv = spark.createDataFrame(
+        [("A", 0.0, 10.0), ("B", 10.0, 20.0), ("C", 5.0, 25.0)],
+        "name string, lo double, hi double")
+    got = sorted((r["id"], r["name"]) for r in range_join(
+        pts, iv, "v", "lo", "hi", bin_width=8.0).collect())
+    # half-open [lo, hi): v=10 not in A, v=20 not in B
+    assert got == [(1, "A"), (1, "C"), (2, "B"), (2, "C"),
+                   (3, "B"), (3, "C"), (4, "C")]
+
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(pts, iv, "v", "lo", "hi", 8.0).explain("formatted")
+    assert "NestedLoop" not in buf.getvalue()  # equi-join on bins only
+    assert "CartesianProduct" not in buf.getvalue()
