@@ -78,6 +78,8 @@ HEADLINE_QUERIES = [
     "minhash_lsh_neardup", "embedding_knn", "fingerprint",
     "c1_neardup_rescue", "iqr_group_score", "simhash_buckets",
     "ivf_knn", "cosine_allpairs", "paragraph_dedup", "repetition_topngram",
+    "asof_join", "sessionize", "range_join", "hypertable_rollup",
+    "canonical_url",
 ]
 
 
