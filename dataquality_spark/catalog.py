@@ -118,6 +118,10 @@ class ManifestCatalog:
         it describes — a crash mid-expire leaves extra files, never a
         manifest pointing at missing data."""
         import shutil
+        if keep_last < 1:
+            # snapshots[-0:] would silently keep EVERYTHING; a table must
+            # always retain its current snapshot
+            raise ValueError("keep_last must be >= 1")
         man = self._load_manifest(name)
         if len(man["snapshots"]) <= keep_last:
             return []

@@ -6,13 +6,18 @@ DuckDB ASOF JOIN).
 
 Scale shape — the canonical distributed formulation: UNION the two sides
 tagged by origin, shuffle ONCE on the key, and run a single
-``last(value, ignorenulls=True)`` window ordered by (time, origin) so every
-left row picks up the latest preceding right value in the same pass. No
+``last(ignorenulls=True)`` window ordered by (time, origin) so every left
+row picks up the latest preceding right row in the same pass. No
 range-condition join (which Spark would plan as a broadcast-nested-loop or
 an exploded inequality join — both quadratic blowups), no per-key collect;
-one exchange, one sort, linear in the union size. Right-side ties on time
-resolve to the LAST right row in (time, tiebreak) order, matching DuckDB
-ASOF semantics for the verified data.
+one exchange, one sort, linear in the union size.
+
+NULL semantics match ASOF: right values travel inside a struct so a
+GENUINELY NULL right value is still "the matched row" (not skipped by
+ignorenulls — only the left-row placeholder structs are null); right rows
+with a NULL time are dropped (a NULL time satisfies no ``t >= t`` bound).
+Right-side ties on time resolve to the LAST right row in (time, tiebreak)
+order, matching DuckDB ASOF for tie-free data.
 """
 
 from __future__ import annotations
@@ -27,33 +32,35 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
               suffix: str = "") -> DataFrame:
     """Backward as-of join: left columns + the latest-preceding right
     ``value_cols`` (null when no right row precedes). ``on`` is the equality
-    key; times must be mutually comparable (cast upstream)."""
+    key; times must be mutually comparable (cast upstream). Raises when an
+    output value column name collides with a left column — pass ``suffix``."""
     lcols = left.columns
-    l = (left.withColumn("_t", F.col(left_time))
-         .withColumn("_src", F.lit(1)))
     for v in value_cols:
-        l = l.withColumn(f"_v_{v}", F.lit(None).cast(
-            dict(right.dtypes)[v]))
-    r = (right.withColumnRenamed(on, "_on_r")
-         .withColumn("_t", F.col(right_time))
-         .withColumn("_src", F.lit(0)))
-    r_sel = [F.col("_on_r").alias(on), "_t", "_src"] + [
-        F.col(v).alias(f"_v_{v}") for v in value_cols]
-    l_sel = [F.col(c) for c in lcols] + [F.col("_t"), F.col("_src")] + [
-        F.col(f"_v_{v}") for v in value_cols]
-    lu = l.select(*l_sel)
-    ru = r.select(*r_sel)
+        if v + suffix in lcols:
+            raise ValueError(
+                f"output column {v + suffix!r} collides with a left column; "
+                f"pass suffix=")
+    # one struct carries all right values: NULL struct = "no right row here"
+    # (the left-side placeholder), non-null struct with null fields = a real
+    # matched right row whose value IS null — exactly ASOF's behavior
+    payload = F.struct(*[F.col(v).alias(v) for v in value_cols])
+    lu = (left.withColumn("_t", F.col(left_time))
+          .withColumn("_src", F.lit(1))
+          .withColumn("_pay", F.lit(None).cast(
+              right.select(payload.alias("_pay")).schema["_pay"].dataType)))
+    ru = (right.where(F.col(right_time).isNotNull())
+          .select(F.col(on), F.col(right_time).alias("_t"),
+                  F.lit(0).alias("_src"), payload.alias("_pay")))
     for c in lcols:
-        if c not in (on,):
+        if c != on:
             ru = ru.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    u = lu.unionByName(ru.select(*[c for c in lu.columns]))
+    u = lu.select(*lcols, "_t", "_src", "_pay").unionByName(
+        ru.select(*lcols, "_t", "_src", "_pay"))
     # right rows sort BEFORE left rows at equal time (_src 0 < 1), so an
     # exactly-simultaneous right row IS visible to the left row (<= join)
     w = (Window.partitionBy(on).orderBy("_t", "_src")
          .rowsBetween(Window.unboundedPreceding, 0))
-    for v in value_cols:
-        u = u.withColumn(f"_v_{v}",
-                         F.last(f"_v_{v}", ignorenulls=True).over(w))
+    u = u.withColumn("_pay", F.last("_pay", ignorenulls=True).over(w))
     return (u.where(F.col("_src") == 1)
-            .select(*lcols, *[F.col(f"_v_{v}").alias(v + suffix)
+            .select(*lcols, *[F.col(f"_pay.{v}").alias(v + suffix)
                               for v in value_cols]))

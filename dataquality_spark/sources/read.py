@@ -39,8 +39,10 @@ def _is_utf8(path: str) -> bool:
     try:
         head.decode("utf-8")
         return True
-    except UnicodeDecodeError:
-        return False
+    except UnicodeDecodeError as e:
+        # a multi-byte sequence truncated by the probe boundary is NOT
+        # evidence of a non-UTF-8 file (a UTF-8 char is at most 4 bytes)
+        return len(head) == _PROBE_BYTES and e.start >= len(head) - 3
 
 
 def read_data(spark: SparkSession, dataset, name: str | None = None) -> DataFrame:
@@ -55,9 +57,10 @@ def read_data(spark: SparkSession, dataset, name: str | None = None) -> DataFram
         df = (spark.read.option("header", True).option("inferSchema", True)
               .option("encoding", "UTF-8" if utf8 else "iso-8859-1")
               .csv(dataset))
-        first = df.columns[0]
-        if first.startswith("﻿"):
-            df = df.withColumnRenamed(first, first.lstrip("﻿"))
+        if df.columns:  # zero-byte/whitespace files parse to no columns
+            first = df.columns[0]
+            if first.startswith("﻿"):
+                df = df.withColumnRenamed(first, first.lstrip("﻿"))
         if not utf8:
             tr = str.maketrans(_LATIN1_CHARS, _CP1252_CHARS)
             df = df.select(*[

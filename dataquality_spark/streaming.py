@@ -129,7 +129,7 @@ def stream_first_seen_dedup_query(spark: SparkSession, input_dir: str,
             .start())
 
 
-_HOST_RE = r"^[a-z]+://([^/]+)"
+_HOST_RE = r"(?i)^[a-z]+://([^/]+)"  # schemes are case-insensitive
 
 REPUTATION_OUTPUT = ("host string, docs bigint, fails bigint, "
                      "fail_rate double, blocked boolean")
@@ -176,7 +176,7 @@ def stream_host_reputation_query(spark: SparkSession, input_dir: str,
     for r in spec.HEURISTIC_RULES:
         gate = gate & F.col(f"r_{r}")
     per_doc = flagged.select(
-        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        F.lower(F.regexp_extract("url", _HOST_RE, 1)).alias("host"),
         gate.alias("doc_pass"))
     status = per_doc.groupBy("host").applyInPandasWithState(
         _reputation_fn(min_docs, max_fail_rate),

@@ -58,3 +58,25 @@ def test_range_join_semantics_and_plan(spark):
         range_join(pts, iv, "v", "lo", "hi", 8.0).explain("formatted")
     assert "NestedLoop" not in buf.getvalue()  # equi-join on bins only
     assert "CartesianProduct" not in buf.getvalue()
+
+
+def test_asof_null_semantics(spark):
+    """ASOF parity on NULLs: a matched right row whose VALUE is null yields
+    null (no stale fill-forward past it); right rows with null TIME match
+    nothing; name collisions without a suffix raise."""
+    from pyspark.sql import functions as F
+    left = spark.createDataFrame([(1, "a", 3)], "id long, k string, t long")
+    right = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", None, 99.0)],
+        "k string, t long, v double")
+    row = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    value_cols=["v"]).collect()[0]
+    assert row["v"] is None  # t=2 row matched, its null value surfaces
+
+    left_v = left.withColumnRenamed("id", "v")
+    with pytest.raises(ValueError, match="collides"):
+        asof_join(left_v, right, on="k", left_time="t", right_time="t",
+                  value_cols=["v"])
+    out = asof_join(left_v, right, on="k", left_time="t", right_time="t",
+                    value_cols=["v"], suffix="_r").collect()[0]
+    assert out["v_r"] is None and out["v"] == 1

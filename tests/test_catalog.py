@@ -67,3 +67,11 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
     assert got.count() == 10
+
+
+def test_expire_snapshots_rejects_keep_last_zero(spark, tmp_path):
+    import pytest
+    cat = ManifestCatalog(str(tmp_path))
+    cat.write(spark.createDataFrame(pd.DataFrame({"x": [1]})), "t")
+    with pytest.raises(ValueError, match="keep_last"):
+        cat.expire_snapshots("t", keep_last=0)

@@ -177,3 +177,20 @@ def test_xlsx_roundtrip_property():
             assert bool(back["b"][i]) == b
 
     check()
+
+
+def test_read_data_empty_csv_and_probe_boundary(spark, tmp_path):
+    """A zero-byte CSV must not crash on the BOM strip; a valid UTF-8 file
+    whose probe window truncates a multi-byte char mid-sequence must still
+    be read as UTF-8 (no silent mojibake)."""
+    from dataquality_spark.sources.read import _PROBE_BYTES, _is_utf8
+    empty = tmp_path / "e.csv"
+    empty.write_bytes(b"")
+    assert read_data(spark, str(empty)).count() == 0
+
+    big = tmp_path / "big.csv"
+    pad = b"name,n\n" + b"x,1\n" * ((_PROBE_BYTES - 7) // 4)
+    body = pad + (b"a" * (_PROBE_BYTES - len(pad) - 1)) + "é".encode("utf-8")
+    assert body[_PROBE_BYTES - 1:_PROBE_BYTES + 1] == "é".encode("utf-8")
+    big.write_bytes(body + b",2\n")
+    assert _is_utf8(str(big))  # boundary-truncated é is not a cp1252 signal
