@@ -1179,6 +1179,52 @@ GROUP BY GROUPING SETS ((day, hour), (day), ())
 """
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split — the reproducible
+    alternative to random sampling for corpus prep: the bucket is a pure
+    function of the key, so membership is stable across runs, partitions,
+    and engines. Split on hash(doc_id) mod 100: <80 train, <90 val, rest
+    test. Uses DuckDB-reproducible arithmetic (doc_id * mix-ish constant mod
+    prime) rather than engine-private hash functions."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647)) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (docs.select(split.alias("split"))
+            .groupBy("split").agg(F.count(F.lit(1)).alias("n")))
+
+
+_SQL_HASH_SPLIT = """
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::bigint AS n
+FROM (SELECT ((doc_id * 2654435761) % 2147483647 + 2147483647) % 2147483647
+             % 100 AS b
+      FROM documents)
+GROUP BY 1
+"""
+
+
+def q_cap_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document capping (the domain-cap step of web-corpus prep:
+    at most K docs per host, deterministic keep order). Window top-K per
+    key — the same one-shuffle shape as dedup winners."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("source", "doc_id", "rn"))
+
+
+_SQL_CAP_PER_KEY = """
+SELECT source, doc_id, rn FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (the operator Spark's built-ins lack): each
     click event picks up the value of the user's most recent error event
@@ -1601,6 +1647,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iqr_group_score": q_iqr_group_score,
     "null_assoc_screen": q_null_assoc_screen,
     "assoc_stats": q_assoc_stats,
+    "hash_split": q_hash_split,
+    "cap_per_key": q_cap_per_key,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "hypertable_rollup": q_hypertable_rollup,
@@ -1651,6 +1699,8 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
+    "hash_split": _SQL_HASH_SPLIT,
+    "cap_per_key": _SQL_CAP_PER_KEY,
     "asof_join": _SQL_ASOF_JOIN,
     "range_join": _SQL_RANGE_JOIN,
     "hypertable_rollup": _SQL_HYPERTABLE_ROLLUP,
