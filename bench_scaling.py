@@ -96,6 +96,18 @@ def main():
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
+    # Preserve hand-maintained sections (headline throughput, batch sweeps,
+    # history) that live after the auto-generated scaling block: keep
+    # everything from the first "## " heading other than the generated ones.
+    tail = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("\n## Headline throughput")
+        if idx >= 0:
+            tail = old[idx:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured baseline
 
@@ -122,6 +134,7 @@ concurrently-measured hardware ceiling the pipeline reaches
 **{eff / ceiling:.3f}**. On a real cluster N→4N adds whole machines; this
 sandbox scales within one shared box.
 """)
+        f.write(tail)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
 
 
