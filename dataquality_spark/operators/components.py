@@ -1,0 +1,132 @@
+"""Connected components over a near-duplicate pair graph, and canonical-doc
+selection per component.
+
+LSH (``operators/dedup.py::near_dup_pairs``) emits PAIRS; a dedup decision
+needs CLUSTERS — near-duplication is transitive in practice (A~B, B~C ⇒ keep
+one of {A,B,C}), so the pair graph must be collapsed into components before
+a winner can be chosen. The reference reaches the same end state per-group
+inside C1's pandas loop (``/root/reference/dimensions/consistency/c1.py:
+93-141`` re-scores candidate groups row-by-row); at 100 TB the graph step
+has to be a distributed fixpoint, not a driver loop.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014 — public). Converges in
+O(log n) rounds even on pathological path graphs, vs O(diameter) for naive
+label propagation. Each star round is expressed WITHOUT collect_list — the
+per-node min-neighbor is a groupBy().agg(min) joined back to the edge list,
+so a viral page with a million near-dup partners never materializes a
+million-element array on one executor; both shuffles are on the node id and
+AQE handles residual skew.
+
+Scale notes:
+  * Every iteration ends in ``localCheckpoint(eager=True)`` — truncates the
+    lineage so round k does not replay rounds 1..k-1 (the classic iterative-
+    DataFrame trap), and doubles as the materialization the convergence
+    check needs anyway.
+  * Convergence is detected from one tiny agg per round
+    (count + sum(xxhash64(u,v)) over the edge set) — no exceptAll/driver
+    diff of full edge lists.
+  * Edge count only shrinks toward the star forest, so the worst-case
+    shuffle is the first round — bounded by the LSH candidate cap upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _edge_sig(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-insensitive hash) of the edge set — the convergence
+    fingerprint. One tiny two-column agg job."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
+    m = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+         .select("u", F.least("mv", "u").alias("m")))
+    return (sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient each edge large→small, then connect every smaller neighbor
+    (and u itself) to min(N(u) ∪ {u})."""
+    orient = (edges.select(F.greatest("u", "v").alias("u"),
+                           F.least("u", "v").alias("v"))
+              .distinct())
+    m = (orient.groupBy("u").agg(F.min("v").alias("mv"))
+         .select("u", F.least("mv", "u").alias("m")))
+    joined = orient.join(m, "u")
+    out = (joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+           .union(joined.select("u", F.col("m").alias("v"))))
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Labels ``(id, component)`` for every node that appears in ``pairs``;
+    ``component`` is the MINIMUM node id in the component (so labels are
+    deterministic and engine-portable). Ids must be orderable (long ids in
+    every caller here). Raises if the fixpoint is not reached within
+    ``max_iter`` alternations (log₂ of the largest component's size bounds
+    the rounds needed; 25 covers 2^25-node components)."""
+    edges = (pairs.select(F.col(src).cast("long").alias("u"),
+                          F.col(dst).cast("long").alias("v"))
+             .where(F.col("u") != F.col("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    sig = _edge_sig(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _edge_sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # Fixpoint edge set is the star forest child→root; roots label themselves.
+    children = edges.select(F.col("u").alias("id"),
+                            F.col("v").alias("component"))
+    roots = (edges.select(F.col("v").alias("id"))
+             .distinct()
+             .join(children.select("id"), "id", "left_anti")
+             .select("id", F.col("id").alias("component")))
+    return children.union(roots)
+
+
+def neardup_components(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id", src: str = "id_a",
+                       dst: str = "id_b") -> DataFrame:
+    """Every document labeled with its near-dup component; documents with no
+    near-duplicate (not in the pair graph) are singleton components labeled
+    by their own id. Left-join keeps the label frame small (only paired docs
+    shuffle through the fixpoint)."""
+    labels = connected_components(pairs, src=src, dst=dst)
+    return (docs.join(labels.withColumnRenamed("id", id_col), id_col, "left")
+            .withColumn("component",
+                        F.coalesce("component", F.col(id_col).cast("long"))))
+
+
+def canonical_winners(labeled: DataFrame, id_col: str = "doc_id",
+                      order_by: list[Column] | None = None) -> DataFrame:
+    """One winner per component (the doc to KEEP). Default policy: longest
+    text wins, doc id breaks ties — deterministic across runs and engines.
+    Single window shuffle on the component key."""
+    if order_by is None:
+        order_by = [F.desc(F.length("text")), F.asc(id_col)]
+    w = Window.partitionBy("component").orderBy(*order_by)
+    return (labeled.withColumn("rn", F.row_number().over(w))
+            .withColumn("is_winner", F.col("rn") == 1)
+            .drop("rn"))

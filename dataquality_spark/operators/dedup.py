@@ -372,3 +372,29 @@ def suggest_salt_buckets(df: DataFrame, key: Column | str,
     while buckets < max_buckets and est_hottest > target_rows_per_task * buckets:
         buckets *= 2
     return buckets
+
+
+def incremental_new_docs(new_docs: DataFrame, prior: DataFrame,
+                         text_col: str = "text",
+                         prior_text_col: str | None = None) -> DataFrame:
+    """Docs from a NEW crawl snapshot whose content does not already exist
+    in the PRIOR corpus — the incremental (snapshot-over-snapshot) form of
+    exact dedup that recurring web crawls need: re-deduping the union from
+    scratch re-shuffles the whole historical corpus every snapshot; the
+    anti-join touches history once and shuffles only matching hash ranges.
+
+    Plan: content-hash both sides, LEFT ANTI join new⋉prior on the hash —
+    a hash-partitioned join where only 8-byte hashes shuffle, never text
+    (the projection happens before the exchange). Bloom pre-filtering is
+    deliberately NOT hand-rolled: Spark ≥3.3 injects a runtime Bloom filter
+    on the streamed side of a selective shuffle join by itself
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default) —
+    declaring the anti-join and letting the optimizer place the filter is
+    the scale path, exactly as with DPP and AQE skew handling.
+    """
+    prior_hashes = prior.select(
+        TX.content_hash(F.col(prior_text_col or text_col)).alias("_ph"))
+    hashed = new_docs.withColumn("_nh", TX.content_hash(F.col(text_col)))
+    return (hashed.join(prior_hashes.distinct(),
+                        hashed["_nh"] == prior_hashes["_ph"], "left_anti")
+            .drop("_nh"))

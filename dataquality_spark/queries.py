@@ -1618,6 +1618,174 @@ SELECT doc_id, {_sql_scrub_chain()} AS scrubbed_text FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Q44 — near-dup connected components (pairs → clusters): the step between
+# LSH candidate pairs and a dedup decision. Spark side is the distributed
+# large-star/small-star fixpoint (`operators/components.py`); the oracle is
+# a DuckDB recursive-CTE reachability closure over the SAME edge set (exact
+# shingle-Jaccard ≥ 0.5, expressed as the integer predicate 2·|∩| ≥ |∪| so
+# neither engine does float threshold comparisons). Labels are the MIN doc
+# id per component; singletons label themselves.
+
+def _shingles3(text: F.Column) -> F.Column:
+    words = TX.words_col(text)
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.components import neardup_components
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _shingles3(F.col("text")).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .where(2 * inter >= union)
+             .select("id_a", "id_b"))
+    return neardup_components(docs.select("doc_id"), pairs)
+
+
+_SQL_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len({_SQL_WORDS}) - 3, 0) + 2),
+             i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 2), ' ')
+         )) AS s
+  FROM documents
+),
+e0 AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE 2 * len(list_intersect(a.s, b.s))
+        >= len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+walk(id, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+),
+labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+SELECT d.doc_id, coalesce(l.comp, d.doc_id)::bigint AS component
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q45 — deterministic per-language token-budget sampling (corpus mixture
+# prep): order docs inside each language by an engine-portable hash, keep
+# the prefix whose cumulative token count fits the budget. Reproducible
+# across runs/engines (pure function of doc_id), one window shuffle on the
+# language key; the running sum uses an explicit ROWS frame so RANGE-tie
+# semantics can never differ between engines.
+
+_TOKEN_BUDGET = 1500
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mix_hash = F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647))
+    base = docs.select(
+        "lang", "doc_id",
+        F.size(TX.words_col(F.col("text"))).alias("n_tokens"),
+        mix_hash.alias("h"))
+    w = (Window.partitionBy("lang").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (base.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            .where(F.col("cum_tokens") <= _TOKEN_BUDGET)
+            .select("lang", "doc_id", "n_tokens", "cum_tokens"))
+
+
+_SQL_TOKEN_BUDGET_SAMPLE = f"""
+SELECT lang, doc_id, n_tokens, cum_tokens::bigint AS cum_tokens FROM (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM (SELECT lang, doc_id, len({_SQL_WORDS}) AS n_tokens,
+               ((doc_id * 2654435761) % 2147483647 + 2147483647)
+               % 2147483647 AS h
+        FROM documents))
+WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q46 — benchmark decontamination (the GPT-3/PaLM n-gram overlap screen):
+# flag corpus docs sharing any word 4-gram with a held-out benchmark set.
+# The benchmark n-gram table is tiny by construction → broadcast to the
+# exploded corpus side; per-doc hit counts are distinct-n-gram counts
+# (array_distinct BEFORE the explode, so no distinct-agg shuffle).
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.words_col(F.col("text"))
+    ng4 = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 4, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4))))
+    is_bench = F.col("doc_id") % 20 == 0
+    bench = (docs.where(is_bench)
+             .select(F.explode(ng4).alias("g")).distinct())
+    corp = (docs.where(~is_bench)
+            .select("doc_id", F.explode(ng4).alias("g")))
+    hits = (corp.join(F.broadcast(bench), "g")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (docs.where(~is_bench).select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
+_SQL_DECONTAMINATE = f"""
+WITH ng AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len({_SQL_WORDS}) - 4, 0) + 2),
+             i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 3), ' ')
+         ))) AS g
+  FROM documents
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM ng
+         WHERE doc_id % 20 != 0 AND g IN (SELECT g FROM bench)
+         GROUP BY doc_id)
+SELECT d.doc_id, coalesce(h.n_hits, 0)::bigint AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 != 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q47 — incremental snapshot dedup: keep only NEW-crawl docs whose content
+# key is unseen in the PRIOR corpus (`operators/dedup.py::
+# incremental_new_docs` — hash-projected LEFT ANTI join; Spark's runtime
+# Bloom filter is the pre-shuffle drop at scale). Content key here is a
+# 40-char text prefix so the synthetic corpus exercises both branches.
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.dedup import incremental_new_docs
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn("_k", F.substring("text", 1, 40))
+    new = keyed.where(F.col("doc_id") % 10 >= 8)
+    prior = keyed.where(F.col("doc_id") % 10 < 8)
+    return (incremental_new_docs(new, prior, text_col="_k")
+            .select("doc_id", "source"))
+
+
+_SQL_INCREMENTAL_DEDUP = """
+SELECT doc_id, source FROM documents
+WHERE doc_id % 10 >= 8
+  AND substr(text, 1, 40) NOT IN
+      (SELECT substr(text, 1, 40) FROM documents WHERE doc_id % 10 < 8)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heuristic_gate": q_heuristic_gate,
     "null_metrics": q_null_metrics,
@@ -1662,6 +1830,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scrub_documents": q_scrub_documents,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
+    "neardup_components": q_neardup_components,
+    "token_budget_sample": q_token_budget_sample,
+    "decontaminate": q_decontaminate,
+    "incremental_dedup": q_incremental_dedup,
     # rows-only (non-SQL-expressible: model UDFs, LSH plans)
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
@@ -1714,4 +1886,8 @@ ORACLE_SQL: dict[str, str] = {
     "scrub_documents": _SQL_SCRUB_DOCS,
     "multimodal_decode": _SQL_MULTIMODAL_DECODE,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
+    "neardup_components": _SQL_NEARDUP_COMPONENTS,
+    "token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
+    "decontaminate": _SQL_DECONTAMINATE,
+    "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
 }

@@ -1,0 +1,97 @@
+"""Connected components (large-star/small-star) + canonical winner policy.
+
+Python oracle: union-find over the same edge list, min-id component labels.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_spark.operators.components import (
+    canonical_winners,
+    connected_components,
+    neardup_components,
+)
+
+
+def _uf_labels(edges, nodes=None):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    out = {}
+    for x in list(parent) + list(nodes or []):
+        out[x] = find(x)
+    return out
+
+
+def _spark_labels(spark, edges):
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    return {r["id"]: r["component"]
+            for r in connected_components(df).collect()}
+
+
+def test_components_basic(spark):
+    # Two triangles bridged by one edge + an isolated pair.
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
+             (10, 11)]
+    assert _spark_labels(spark, edges) == _uf_labels(edges)
+
+
+def test_components_path_graph_converges_logn(spark):
+    # A 200-node path is the worst case for naive label propagation
+    # (diameter 199); large/small-star must collapse it in <= 25 rounds.
+    edges = [(i, i + 1) for i in range(200)]
+    labels = _spark_labels(spark, edges)
+    assert set(labels.values()) == {0}
+    assert len(labels) == 201
+
+
+def test_components_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(250)]
+    edges = [(u, v) for u, v in edges if u != v]
+    assert _spark_labels(spark, edges) == _uf_labels(edges)
+
+
+def test_components_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a: long, id_b: long")
+    assert connected_components(df).count() == 0
+
+
+def test_neardup_components_singletons_and_winners(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aa"), (3, "b"), (4, "cccc cccc")],
+        "doc_id: long, text: string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a: long, id_b: long")
+    labeled = neardup_components(docs, pairs)
+    got = {r["doc_id"]: r["component"] for r in labeled.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+    winners = canonical_winners(labeled)
+    kept = sorted(r["doc_id"] for r in winners.collect() if r["is_winner"])
+    # Component {1,2}: doc 1 has the longer text -> wins; singletons keep.
+    assert kept == [1, 3, 4]
+
+
+def test_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a: long, id_b: long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=0)
+
+
+def test_components_label_is_min_id(spark):
+    edges = [(100, 7), (7, 42), (9, 100)]
+    labels = _spark_labels(spark, edges)
+    assert set(labels.values()) == {7}

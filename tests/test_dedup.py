@@ -196,3 +196,21 @@ def test_suggest_salt_buckets_skew_vs_uniform(spark):
                                target_rows_per_task=1000)
     assert got >= 16  # ~18k-row hot group / 1k target → >=16 buckets
     # estimates only affect balance, never results (salt invariance holds)
+
+
+def test_incremental_new_docs(spark):
+    from dataquality_spark.operators.dedup import incremental_new_docs
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")],
+        "doc_id: long, text: string")
+    prior = spark.createDataFrame(
+        [(90, "beta"), (91, "delta"), (92, "beta")],
+        "doc_id: long, text: string")
+    kept = sorted(r["doc_id"]
+                  for r in incremental_new_docs(new, prior).collect())
+    assert kept == [1, 3]
+    # Empty prior: everything is new; schema untouched (no helper columns).
+    empty = prior.where("doc_id < 0")
+    out = incremental_new_docs(new, empty)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
+    assert out.columns == ["doc_id", "text"]
