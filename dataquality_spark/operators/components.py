@@ -24,7 +24,7 @@ Scale notes:
     DataFrame trap), and doubles as the materialization the convergence
     check needs anyway.
   * Convergence is detected from one tiny agg per round
-    (count + sum(xxhash64(u,v)) over the edge set) — no exceptAll/driver
+    (count + bit_xor(xxhash64(u,v)) over the edge set) — no exceptAll/driver
     diff of full edge lists.
   * Edge count only shrinks toward the star forest, so the worst-case
     shuffle is the first round — bounded by the LSH candidate cap upstream.
@@ -130,3 +130,51 @@ def canonical_winners(labeled: DataFrame, id_col: str = "doc_id",
     return (labeled.withColumn("rn", F.row_number().over(w))
             .withColumn("is_winner", F.col("rn") == 1)
             .drop("rn"))
+
+
+def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                jaccard_threshold: float | None = None,
+                max_bucket_size: int | None = 200,
+                order_by: list[Column] | None = None) -> DataFrame:
+    """The complete fuzzy-dedup scale path, composed: MinHash-banded LSH
+    candidate pairs (hot-bucket capped) → large-star/small-star connected
+    components → one canonical winner per cluster. Input df + an
+    ``is_winner`` / ``component`` column out; drop ``is_winner == false``
+    rows to dedup.
+
+    Non-numeric ids are mapped through ``xxhash64`` for the component
+    fixpoint (labels must be orderable longs); the original id survives in
+    the output and the winner policy still sees every original column. A
+    64-bit hash collision (≈2e-20 per pair at 1B docs) could merge two
+    unrelated clusters — acceptable for dedup, where a rare extra drop is
+    harmless and no kept row is ever corrupted.
+    """
+    from dataquality_spark import spec
+    from dataquality_spark.operators.dedup import near_dup_pairs
+
+    if jaccard_threshold is None:
+        jaccard_threshold = spec.NEAR_DUP_SIMILARITY
+    numeric = dict(df.dtypes)[id_col] in ("tinyint", "smallint", "int",
+                                          "bigint")
+    cleanup: list[DataFrame] = []
+    pairs = near_dup_pairs(df, id_col=id_col, text_col=text_col,
+                           jaccard_threshold=jaccard_threshold,
+                           max_bucket_size=max_bucket_size,
+                           cleanup=cleanup)
+    if not numeric:
+        pairs = pairs.select(F.xxhash64("id_a").alias("id_a"),
+                             F.xxhash64("id_b").alias("id_b"))
+    labels = connected_components(pairs)
+    # The fixpoint materializes via localCheckpoint, so the LSH signature
+    # cache has been fully consumed — release it before the winner join.
+    for frame in cleanup:
+        frame.unpersist()
+    key = (F.col(id_col).cast("long") if numeric
+           else F.xxhash64(id_col))
+    labeled = (df.withColumn("_cid", key)
+               .join(labels.withColumnRenamed("id", "_cid"), "_cid", "left")
+               .withColumn("component", F.coalesce("component",
+                                                   F.col("_cid")))
+               .drop("_cid"))
+    return canonical_winners(labeled, id_col=id_col, order_by=order_by)

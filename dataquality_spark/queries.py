@@ -1786,6 +1786,20 @@ WHERE doc_id % 10 >= 8
 """
 
 
+# ---------------------------------------------------------------------------
+# Q48 — the composed fuzzy-dedup SCALE path (rows-only: the LSH stage is
+# probabilistic, so no SQL oracle — its exact-oracle counterpart is
+# `neardup_components`, which runs the same fixpoint over brute-force
+# Jaccard edges): LSH pairs → connected components → canonical winners.
+
+def q_fuzzy_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.components import fuzzy_dedup
+    docs = _t(spark, sf_dir, "documents")
+    out = fuzzy_dedup(docs, id_col="doc_id", text_col="text",
+                      jaccard_threshold=0.5)
+    return out.select("doc_id", "component", "is_winner")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heuristic_gate": q_heuristic_gate,
     "null_metrics": q_null_metrics,
@@ -1835,6 +1849,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "incremental_dedup": q_incremental_dedup,
     # rows-only (non-SQL-expressible: model UDFs, LSH plans)
+    "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,

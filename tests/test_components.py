@@ -95,3 +95,46 @@ def test_components_label_is_min_id(spark):
     edges = [(100, 7), (7, 42), (9, 100)]
     labels = _spark_labels(spark, edges)
     assert set(labels.values()) == {7}
+
+
+def test_fuzzy_dedup_end_to_end_string_ids(spark):
+    from tests.test_dedup import BODY, _pages
+    from dataquality_spark.operators.components import fuzzy_dedup
+
+    words = BODY.split()
+    v1 = " ".join(w.upper() if i == 7 else w for i, w in enumerate(words))
+    v2 = " ".join(w.upper() if i == 13 else w for i, w in enumerate(words))
+    rows = [
+        ("u_a", "2024-01-01", BODY),
+        ("u_b", "2024-01-02", v1),       # near-dup of u_a
+        ("u_c", "2024-01-03", v2),       # near-dup of u_a (and of u_b only
+                                         # transitively -> same component)
+        ("u_d", "2024-01-04", "unrelated content " * 40),
+    ]
+    out = fuzzy_dedup(_pages(spark, rows), id_col="url").toPandas()
+    comp = out.set_index("url")["component"]
+    assert comp["u_a"] == comp["u_b"] == comp["u_c"]
+    assert comp["u_d"] != comp["u_a"]
+    winners = set(out[out["is_winner"]]["url"])
+    assert "u_d" in winners
+    assert len(winners & {"u_a", "u_b", "u_c"}) == 1
+    # every row labeled, exactly one winner per component
+    assert len(out) == 4
+    per_comp = out.groupby("component")["is_winner"].sum()
+    assert (per_comp == 1).all()
+
+
+def test_fuzzy_dedup_numeric_ids(spark):
+    from tests.test_dedup import BODY
+    from dataquality_spark.operators.components import fuzzy_dedup
+
+    words = BODY.split()
+    v1 = " ".join(w.upper() if i == 7 else w for i, w in enumerate(words))
+    df = spark.createDataFrame(
+        [(1, BODY), (2, v1), (3, "unrelated content " * 40)],
+        "doc_id: long, text: string")
+    out = fuzzy_dedup(df, id_col="doc_id").toPandas()
+    comp = out.set_index("doc_id")["component"]
+    # numeric ids keep their own values as labels (min id in component)
+    assert comp[1] == comp[2] == 1
+    assert comp[3] == 3
