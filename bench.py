@@ -79,7 +79,8 @@ HEADLINE_QUERIES = [
     "c1_neardup_rescue", "iqr_group_score", "simhash_buckets",
     "ivf_knn", "cosine_allpairs", "paragraph_dedup", "repetition_topngram",
     "asof_join", "sessionize", "range_join", "hypertable_rollup",
-    "canonical_url",
+    "canonical_url", "fuzzy_dedup_decisions", "decontaminate",
+    "token_budget_sample", "incremental_dedup",
 ]
 
 

@@ -1787,6 +1787,41 @@ WHERE doc_id % 10 >= 8
 
 
 # ---------------------------------------------------------------------------
+# Q49 — CCNet-style head/middle/tail quality bucketing: per language, rank
+# docs by a quality proxy (stop-word fraction — SQL-expressible stand-in for
+# the perplexity score the pipeline uses) and cut into terciles with ntile.
+# The head bucket is what CCNet-style corpus prep keeps or upsamples. One
+# window shuffle on the language key; ties broken by doc_id so the bucket
+# assignment is total and engine-portable.
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.words_col(F.col("text"))
+    score = F.round(TX.stopword_count(words, F.col("lang"))
+                    / TX.word_count(words), 6)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (docs.select("doc_id", "lang", score.alias("score"))
+            .withColumn("bucket", F.ntile(3).over(w))
+            .withColumn("tier", F.element_at(
+                F.lit(["head", "middle", "tail"]), F.col("bucket"))))
+
+
+_SQL_QUALITY_BUCKETS = f"""
+SELECT doc_id, lang, score, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS tier
+FROM (
+  SELECT doc_id, lang,
+         round(({_sql_stop_cnt()}) / len({_SQL_WORDS})::double, 6) AS score,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY round(({_sql_stop_cnt()})
+                            / len({_SQL_WORDS})::double, 6) DESC,
+                            doc_id ASC) AS bucket
+  FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q48 — the composed fuzzy-dedup SCALE path (rows-only: the LSH stage is
 # probabilistic, so no SQL oracle — its exact-oracle counterpart is
 # `neardup_components`, which runs the same fixpoint over brute-force
@@ -1848,6 +1883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_sample": q_token_budget_sample,
     "decontaminate": q_decontaminate,
     "incremental_dedup": q_incremental_dedup,
+    "quality_buckets": q_quality_buckets,
     # rows-only (non-SQL-expressible: model UDFs, LSH plans)
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     "pages_pipeline": q_pages_pipeline,
@@ -1905,4 +1941,5 @@ ORACLE_SQL: dict[str, str] = {
     "token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
     "decontaminate": _SQL_DECONTAMINATE,
     "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+    "quality_buckets": _SQL_QUALITY_BUCKETS,
 }
