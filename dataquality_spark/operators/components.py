@@ -73,20 +73,57 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Min-label union-find over a collected edge list — the small-graph
+    strategy. Produces the identical (id, component=min id) labeling as the
+    distributed fixpoint (asserted against it in tests)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edges.collect():
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    rows = [(x, find(x)) for x in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "id: long, component: long")
+
+
 def connected_components(pairs: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 25,
+                         driver_threshold: int = 1_000_000) -> DataFrame:
     """Labels ``(id, component)`` for every node that appears in ``pairs``;
     ``component`` is the MINIMUM node id in the component (so labels are
     deterministic and engine-portable). Ids must be orderable (long ids in
-    every caller here). Raises if the fixpoint is not reached within
-    ``max_iter`` alternations (log₂ of the largest component's size bounds
-    the rounds needed; 25 covers 2^25-node components)."""
+    every caller here).
+
+    Strategy is size-adaptive, the same shape as AQE's broadcast-vs-shuffle
+    decision: the deduped edge list is materialized (needed by round 1
+    anyway), and if it holds at most ``driver_threshold`` edges the closure
+    runs as driver-side union-find (16 bytes/edge → ≤16 MB collected; a
+    post-LSH near-dup graph is almost always this small relative to the
+    corpus). Larger graphs run the distributed large-star/small-star
+    fixpoint, which raises if not converged within ``max_iter`` alternations
+    (log₂ of the largest component's size bounds the rounds needed; 25
+    covers 2^25-node components). Both strategies produce identical labels
+    — equality is property-tested — so the cutover is a pure physical
+    decision. ``driver_threshold=0`` forces the distributed path."""
     edges = (pairs.select(F.col(src).cast("long").alias("u"),
                           F.col(dst).cast("long").alias("v"))
              .where(F.col("u") != F.col("v"))
              .distinct()
              .localCheckpoint(eager=True))
     sig = _edge_sig(edges)
+    if sig[0] <= driver_threshold:
+        return _driver_union_find(edges)
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         new_sig = _edge_sig(edges)
@@ -108,12 +145,14 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
 
 def neardup_components(docs: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id", src: str = "id_a",
-                       dst: str = "id_b") -> DataFrame:
+                       dst: str = "id_b",
+                       driver_threshold: int = 1_000_000) -> DataFrame:
     """Every document labeled with its near-dup component; documents with no
     near-duplicate (not in the pair graph) are singleton components labeled
     by their own id. Left-join keeps the label frame small (only paired docs
     shuffle through the fixpoint)."""
-    labels = connected_components(pairs, src=src, dst=dst)
+    labels = connected_components(pairs, src=src, dst=dst,
+                                  driver_threshold=driver_threshold)
     return (docs.join(labels.withColumnRenamed("id", id_col), id_col, "left")
             .withColumn("component",
                         F.coalesce("component", F.col(id_col).cast("long"))))

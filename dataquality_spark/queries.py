@@ -1645,7 +1645,11 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (a.join(b, F.col("id_a") < F.col("id_b"))
              .where(2 * inter >= union)
              .select("id_a", "id_b"))
-    return neardup_components(docs.select("doc_id"), pairs)
+    # driver_threshold=0 forces the DISTRIBUTED fixpoint so the oracle row
+    # is evidence for the large-star/small-star path, not the union-find
+    # small-graph strategy (which tests assert equal anyway).
+    return neardup_components(docs.select("doc_id"), pairs,
+                              driver_threshold=0)
 
 
 _SQL_NEARDUP_COMPONENTS = f"""

@@ -35,10 +35,13 @@ def _uf_labels(edges, nodes=None):
     return out
 
 
-def _spark_labels(spark, edges):
+def _spark_labels(spark, edges, driver_threshold=0):
+    # driver_threshold=0 forces the distributed fixpoint (the scale path);
+    # the small-graph union-find strategy is asserted equal separately.
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
     return {r["id"]: r["component"]
-            for r in connected_components(df).collect()}
+            for r in connected_components(
+                df, driver_threshold=driver_threshold).collect()}
 
 
 def test_components_basic(spark):
@@ -46,6 +49,17 @@ def test_components_basic(spark):
     edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4),
              (10, 11)]
     assert _spark_labels(spark, edges) == _uf_labels(edges)
+
+
+def test_components_strategies_agree(spark):
+    """Driver union-find (small-graph strategy) and the distributed
+    fixpoint must produce identical labelings."""
+    rng = random.Random(13)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    edges = [(u, v) for u, v in edges if u != v]
+    dist = _spark_labels(spark, edges, driver_threshold=0)
+    drv = _spark_labels(spark, edges, driver_threshold=10**6)
+    assert dist == drv == _uf_labels(edges)
 
 
 def test_components_path_graph_converges_logn(spark):
@@ -68,6 +82,7 @@ def test_components_random_graph_matches_union_find(spark):
 def test_components_empty_pairs(spark):
     df = spark.createDataFrame([], "id_a: long, id_b: long")
     assert connected_components(df).count() == 0
+    assert connected_components(df, driver_threshold=0).count() == 0
 
 
 def test_neardup_components_singletons_and_winners(spark):
@@ -88,7 +103,7 @@ def test_neardup_components_singletons_and_winners(spark):
 def test_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "id_a: long, id_b: long")
     with pytest.raises(RuntimeError):
-        connected_components(df, max_iter=0)
+        connected_components(df, max_iter=0, driver_threshold=0)
 
 
 def test_components_label_is_min_id(spark):
