@@ -173,7 +173,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
                    shingle_n: int = 3,
                    max_bucket_size: int | None = 200,
                    skew_metrics: dict | None = None,
-                   cleanup: list[DataFrame] | None = None) -> DataFrame:
+                   cleanup: list[DataFrame] | None = None,
+                   measure: str = "jaccard") -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-banded LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
@@ -232,8 +233,21 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    # "containment" scores |A∩B| / min(|A|,|B|): a short doc fully embedded
+    # in a long one scores 1.0 where symmetric Jaccard (inter/union) stays
+    # low — the quote-page / article-with-boilerplate case. NOTE the LSH
+    # recall guarantee is on JACCARD: MinHash collision probability tracks
+    # inter/union, so high-containment/low-jaccard pairs are only found when
+    # their Jaccard still reaches a band. For systematic containment mining,
+    # lower jaccard_threshold and verify with this measure.
+    if measure == "containment":
+        sim = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    elif measure == "jaccard":
+        sim = inter / union
+    else:
+        raise ValueError(f"unknown measure: {measure!r}")
     return (
-        pairs.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", sim)
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -214,3 +214,25 @@ def test_incremental_new_docs(spark):
     out = incremental_new_docs(new, empty)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3]
     assert out.columns == ["doc_id", "text"]
+
+
+def test_near_dup_containment_measure(spark):
+    """A short doc fully embedded in a long one: containment ~1.0, symmetric
+    Jaccard low. The containment measure surfaces the pair at a high
+    threshold where Jaccard misses it (both docs must still LSH-collide, so
+    the fixture keeps them Jaccard-similar enough to share a band)."""
+    long = " ".join(f"tok{i:03d} word{i * 7 % 113}" for i in range(80))
+    short = " ".join(long.split()[:130])  # 130/160 tokens: jaccard ≈ 0.81,
+    #                                       containment = 1.0
+    rows = [("u_long", "2024-01-01", long),
+            ("u_short", "2024-01-02", short)]
+    df = _pages(spark, rows)
+    cont = near_dup_pairs(df, jaccard_threshold=0.95,
+                          measure="containment").toPandas()
+    assert len(cont) == 1 and cont.iloc[0]["jaccard"] >= 0.99
+    jac = near_dup_pairs(df, jaccard_threshold=0.95,
+                         measure="jaccard").toPandas()
+    assert len(jac) == 0  # symmetric Jaccard ~0.81 < 0.95 threshold
+
+    with pytest.raises(ValueError):
+        near_dup_pairs(df, measure="dice")
