@@ -1826,6 +1826,22 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q50 — fastText-style learned quality filter (rows-only: the model is a
+# trained artifact, not SQL-expressible — its correctness gate is the
+# held-out separation + UDF-parity pytest in tests/test_models.py):
+# hashed word+subword logistic regression scored in one Arrow UDF with the
+# broadcast artifact, the LLaMA/RedPajama classifier-filter pattern.
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.models import quality
+    docs = _t(spark, sf_dir, "documents")
+    udf = quality.make_quality_udf(spark, quality.train_quality())
+    return (docs.select("doc_id", udf("text").alias("q_prob"))
+            .select("doc_id", F.round("q_prob", 6).alias("q_prob"),
+                    (F.col("q_prob") > 0.5).alias("q_keep")))
+
+
+# ---------------------------------------------------------------------------
 # Q48 — the composed fuzzy-dedup SCALE path (rows-only: the LSH stage is
 # probabilistic, so no SQL oracle — its exact-oracle counterpart is
 # `neardup_components`, which runs the same fixpoint over brute-force
@@ -1890,6 +1906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_buckets": q_quality_buckets,
     # rows-only (non-SQL-expressible: model UDFs, LSH plans)
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
+    "quality_classifier": q_quality_classifier,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,

@@ -14,3 +14,9 @@ def spark():
 def artifacts():
     from dataquality_spark import pipeline
     return pipeline.get_artifacts()
+
+
+@pytest.fixture(scope="session")
+def artifacts_q():
+    from dataquality_spark.models import quality
+    return quality.train_quality()

@@ -66,3 +66,52 @@ def test_model_udf_matches_local(spark, artifacts):
     assert np.allclose(lg[mask], lr[mask], atol=1e-9)
     assert (np.isnan(lg) == np.isnan(lr)).all()
     assert (got["r_perplexity"].astype(bool) == ref["lp_ok"].astype(bool)).all()
+
+
+# --- quality classifier (models/quality.py) --------------------------------
+
+def test_quality_classifier_separates_junk(artifacts_q):
+    """Held-out positives (unseen seed-corpus docs) and held-out junk of all
+    four kinds (different generator seed) must separate at 0.5."""
+    import pandas as pd
+    from dataquality_spark import spec
+    from dataquality_spark.models import corpus, quality
+
+    art = artifacts_q
+    pos = []
+    for lg in spec.LANGS:
+        pos.extend(corpus.seed_corpus(lg, n_docs=150)[120:])
+    pp = quality.predict_batch(pd.Series(pos), art)
+    assert (pp > 0.5).mean() >= 0.99
+    for kind in range(4):
+        junk = [quality._junk_doc(0xFEED * 1_000_003 + d)
+                for d in range(kind, 120, 4)]
+        pj = quality.predict_batch(pd.Series(junk), art)
+        assert (pj < 0.5).mean() >= 0.95, f"junk kind {kind}"
+
+
+def test_quality_training_deterministic(artifacts_q):
+    import numpy as np
+    from dataquality_spark.models import quality
+    art2 = quality.train_quality()
+    assert np.array_equal(artifacts_q["w"], art2["w"])
+    assert artifacts_q["b"] == art2["b"]
+
+
+def test_quality_udf_parity_and_nulls(spark, artifacts_q):
+    """The Arrow UDF must equal predict_batch through the full Spark
+    plumbing (broadcast, batching, nulls); empty/null text scores 0.0."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from dataquality_spark.models import quality
+
+    texts = ["the quick brown fox and the lazy dog run home again",
+             "", None, "xqzjvk wpfmtr zzkkqq " * 10]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i: long, text: string")
+    udf = quality.make_quality_udf(spark, artifacts_q)
+    got = (df.select("i", udf("text").alias("p")).toPandas()
+           .sort_values("i")["p"].to_numpy())
+    want = quality.predict_batch(pd.Series(texts), artifacts_q)
+    assert abs(got - want).max() < 1e-12
+    assert got[1] == 0.0 and got[2] == 0.0
