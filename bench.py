@@ -80,7 +80,8 @@ HEADLINE_QUERIES = [
     "ivf_knn", "cosine_allpairs", "paragraph_dedup", "repetition_topngram",
     "asof_join", "sessionize", "range_join", "hypertable_rollup",
     "canonical_url", "fuzzy_dedup_decisions", "decontaminate",
-    "token_budget_sample", "incremental_dedup",
+    "token_budget_sample", "incremental_dedup", "quality_buckets",
+    "quality_classifier",
 ]
 
 

@@ -24,6 +24,7 @@ Word hashing uses ``zlib.crc32`` (stable across processes — NEVER builtin
 from __future__ import annotations
 
 import zlib
+from functools import lru_cache as _lru_cache
 
 import numpy as np
 import pandas as pd
@@ -49,7 +50,9 @@ def _doc_buckets(text: str | None) -> np.ndarray:
     same reason fastText uses subword features)."""
     from dataquality_spark.models import langid as L
 
-    ws = (text or "").lower().split()[:MAX_WORDS]
+    if not isinstance(text, str):  # None / NaN-from-pandas
+        text = ""
+    ws = text.lower().split()[:MAX_WORDS]
     if not ws:
         return np.zeros(0, dtype=np.int64)
     h = np.fromiter((zlib.crc32(w.encode("utf-8")) for w in ws),
@@ -119,11 +122,13 @@ def junk_corpus(n_docs: int = 200, seed: int = 0xBAD) -> list[str]:
 
 # --- training --------------------------------------------------------------
 
+@_lru_cache(maxsize=4)
 def train_quality(n_per_class: int = 600, epochs: int = 800,
                   lr: float = 100.0, l2: float = 1e-6) -> dict:
     """Binary logistic regression, full-batch GD, fixed schedule —
     bit-deterministic. Positives: seed-corpus docs round-robin over the
-    supported languages; negatives: junk_corpus."""
+    supported languages; negatives: junk_corpus. Cached per-process like
+    ``pipeline.get_artifacts`` (callers must not mutate the arrays)."""
     langs = spec.LANGS
     per_lang = n_per_class // len(langs) + 1
     pos = []

@@ -88,8 +88,9 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for u, v in edges.collect():
-        ru, rv = find(u), find(v)
+    pdf = edges.toPandas()  # Arrow path — no per-row Row objects
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        ru, rv = find(int(u)), find(int(v))
         if ru != rv:
             parent[max(ru, rv)] = min(ru, rv)
     rows = [(x, find(x)) for x in parent]
@@ -108,9 +109,9 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     Strategy is size-adaptive, the same shape as AQE's broadcast-vs-shuffle
     decision: the deduped edge list is materialized (needed by round 1
     anyway), and if it holds at most ``driver_threshold`` edges the closure
-    runs as driver-side union-find (16 bytes/edge → ≤16 MB collected; a
-    post-LSH near-dup graph is almost always this small relative to the
-    corpus). Larger graphs run the distributed large-star/small-star
+    runs as driver-side union-find (Arrow-collected; 1M edges ≈ 16 MB of
+    int64 columns; a post-LSH near-dup graph is almost always this small
+    relative to the corpus). Larger graphs run the distributed large-star/small-star
     fixpoint, which raises if not converged within ``max_iter`` alternations
     (log₂ of the largest component's size bounds the rounds needed; 25
     covers 2^25-node components). Both strategies produce identical labels
