@@ -68,22 +68,33 @@ FUSED_SCHEMA = T.StructType(
     SCORE_SCHEMA.fields + [T.StructField("scrubbed_text", T.StringType())])
 
 
-def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict):
+def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
+                         quality_art: dict | None = None):
     """Fused langid+perplexity+scrub UDF: ONE Arrow transfer of the text
     column instead of two (each ArrowEvalPython node ships `text` JVM→Python
     independently; fusing measured 11.4s→9.8s for the UDF stages at
     sf0.1/local[32]). Pure composition of the shared kernels
     (``score_batch`` + ``scrub_series``) — parity tests on each kernel
-    cover the fused path."""
+    cover the fused path. When ``quality_art`` is given, the learned quality
+    classifier (models/quality.py) rides the SAME Arrow crossing as one more
+    struct field instead of a second Python runner."""
     from dataquality_spark.scrub import scrub_series
     sc = spark.sparkContext
     b_langid = sc.broadcast(langid_art)
     b_lm = sc.broadcast(lm_art)
+    b_q = sc.broadcast(quality_art) if quality_art is not None else None
+    schema = FUSED_SCHEMA
+    if b_q is not None:
+        schema = T.StructType(FUSED_SCHEMA.fields
+                              + [T.StructField("q_prob", T.DoubleType())])
 
-    @F.pandas_udf(FUSED_SCHEMA)
+    @F.pandas_udf(schema)
     def score_scrub(text: pd.Series) -> pd.DataFrame:
         out = score_batch(text, b_langid.value, b_lm.value)
         out["scrubbed_text"] = scrub_series(text)
+        if b_q is not None:
+            from dataquality_spark.models import quality
+            out["q_prob"] = quality.predict_batch(text, b_q.value)
         return out
 
     return score_scrub.asNondeterministic()
@@ -92,14 +103,20 @@ def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict):
 def with_model_scores_and_scrub(spark: SparkSession, df: DataFrame,
                                 langid_art: dict, lm_art: dict,
                                 text_col: str = "text",
-                                lang_col: str = "lang") -> DataFrame:
+                                lang_col: str = "lang",
+                                quality_art: dict | None = None) -> DataFrame:
     """Fused pipeline stage: same columns as ``with_model_scores`` plus
-    ``scrubbed_text``, in a single Python runner."""
-    udf = make_score_scrub_udf(spark, langid_art, lm_art)
+    ``scrubbed_text`` (and, with ``quality_art``, ``q_prob`` +
+    ``r_quality``), in a single Python runner."""
+    udf = make_score_scrub_udf(spark, langid_art, lm_art,
+                               quality_art=quality_art)
     df = df.withColumn("_m", udf(F.col(text_col)))
-    return (
-        df.select("*", "_m.pred_lang", "_m.lang_conf", "_m.logprob",
-                  "_m.lp_ok", "_m.scrubbed_text")
+    fields = ["_m.pred_lang", "_m.lang_conf", "_m.logprob",
+              "_m.lp_ok", "_m.scrubbed_text"]
+    if quality_art is not None:
+        fields.append("_m.q_prob")
+    out = (
+        df.select("*", *fields)
         .drop("_m")
         .withColumn(
             "r_lang_match",
@@ -110,6 +127,10 @@ def with_model_scores_and_scrub(spark: SparkSession, df: DataFrame,
         .withColumn("r_perplexity", F.col("lp_ok"))
         .drop("lp_ok")
     )
+    if quality_art is not None:
+        out = out.withColumn(
+            "r_quality", F.col("q_prob") >= spec.MIN_QUALITY_PROB)
+    return out
 
 
 def with_model_scores(spark: SparkSession, df: DataFrame,

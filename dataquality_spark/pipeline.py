@@ -42,7 +42,8 @@ def get_artifacts() -> dict:
 def run_pipeline(spark: SparkSession, pages: DataFrame,
                  with_dedup: bool = True, salt_buckets: int | str = 64,
                  persist: bool = True,
-                 cleanup: list[DataFrame] | None = None) -> DataFrame:
+                 cleanup: list[DataFrame] | None = None,
+                 with_classifier: bool = False) -> DataFrame:
     """pages → annotated frame with all rule flags, keep, scrubbed_text.
 
     ``keep`` = every heuristic + model rule passes AND the row is its exact-dup
@@ -81,9 +82,19 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     # must sit where rows are narrowest (measured 3× on the full frame).
     # langid+perplexity+scrub are FUSED into one UDF so `text` crosses the
     # JVM↔Python boundary once (measured 11.4s→9.8s at sf0.1/local[32]).
-    df = with_model_scores_and_scrub(spark, df, art["langid"], art["lm"])
+    # Optional learned-quality stage (with_classifier): the classifier rides
+    # the SAME fused UDF crossing as one more struct field — no extra Python
+    # runner, no extra Arrow transfer of `text`.
+    q_art = None
+    if with_classifier:
+        from dataquality_spark.models import quality
+        q_art = quality.train_quality()
+    df = with_model_scores_and_scrub(spark, df, art["langid"], art["lm"],
+                                     quality_art=q_art)
     df = with_rule_flags(df)
     gate = F.col("heuristic_pass") & F.col("r_lang_match") & F.col("r_perplexity")
+    if with_classifier:
+        gate = gate & F.col("r_quality")
     df = df.withColumn("pre_dedup_pass", gate)
     if not with_dedup:
         return (df.withColumn("content_hash", F.lit(None).cast("long"))
@@ -128,8 +139,11 @@ def decisions_table(annotated: DataFrame,
     decisions(url, keep, rules map<string,boolean>, scores map<string,double>,
     scrubbed_text[, *extra_cols]). ``extra_cols`` lets the checkpoint path
     carry its chunk key through to a partitioned write."""
+    rules = list(PIPELINE_RULES)
+    if "r_quality" in annotated.columns:  # opt-in classifier stage
+        rules.insert(rules.index("dedup"), "quality")
     rule_entries = []
-    for r in PIPELINE_RULES:
+    for r in rules:
         rule_entries += [F.lit(r), F.col(f"r_{r}")]
     score_entries = [
         F.lit("lang_conf"), F.col("lang_conf"),
@@ -137,6 +151,8 @@ def decisions_table(annotated: DataFrame,
         F.lit("stop_frac"), F.col("stop_frac").cast("double"),
         F.lit("dupline_frac"), F.col("dupline_frac").cast("double"),
     ]
+    if "q_prob" in annotated.columns:
+        score_entries += [F.lit("q_prob"), F.col("q_prob")]
     return annotated.select(
         "url",
         F.col("keep"),
@@ -149,7 +165,10 @@ def decisions_table(annotated: DataFrame,
 
 def pipeline_metrics(annotated: DataFrame) -> DataFrame:
     """rule_metrics(rule_id, pass_count, fail_count, score) over all rules."""
-    return rule_metrics(annotated, PIPELINE_RULES)
+    rules = list(PIPELINE_RULES)
+    if "r_quality" in annotated.columns:
+        rules.insert(rules.index("dedup"), "quality")
+    return rule_metrics(annotated, rules)
 
 
 def metrics_from_decisions(decisions: DataFrame) -> DataFrame:

@@ -86,3 +86,52 @@ def test_pipeline_auto_salt(spark, artifacts):
     for f in cleanup:
         f.unpersist()
     assert fixed == auto
+
+
+def test_pipeline_classifier_stage_opt_in(spark):
+    """with_classifier=True adds q_prob + the quality rule inside the SAME
+    fused UDF (no second Python runner), gates keep on it, and surfaces it
+    in decisions/metrics; the default path is unchanged."""
+    from dataquality_spark import pipeline as P
+    from dataquality_spark.synth import generate_pages
+
+    pages = generate_pages(spark, 300, seed=11)
+    base = P.run_pipeline(spark, pages, persist=False)
+    assert "q_prob" not in base.columns and "r_quality" not in base.columns
+
+    ann = P.run_pipeline(spark, pages, persist=False, with_classifier=True)
+    assert "q_prob" in ann.columns and "r_quality" in ann.columns
+
+    # the classifier must add ZERO extra Python runners (it rides the fused
+    # UDF); compare Arrow node counts against the classifier-less plan
+    # (persist=False duplicates the scan across the dedup join's branches,
+    # so the absolute count is 2 on both sides)
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    def arrow_count(frame):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            frame.explain("formatted")
+        return len(set(re.findall(r"\((\d+)\) ArrowEvalPython",
+                                  buf.getvalue())))
+
+    assert arrow_count(ann) == arrow_count(base)
+
+    rows = ann.select("keep", "pre_dedup_pass", "r_quality").collect()
+    assert all((not r["pre_dedup_pass"]) or r["r_quality"] for r in rows)
+
+    dec = P.decisions_table(ann)
+    m = {r["rule_id"] for r in P.pipeline_metrics(ann).collect()}
+    assert "quality" in m
+    one = dec.first()
+    assert "quality" in one["rules"] and "q_prob" in one["scores"]
+
+    # clean synthetic pages: the classifier should agree with quality for
+    # the overwhelming majority of gated rows
+    frac = ann.where("heuristic_pass").agg(
+        __import__("pyspark.sql.functions", fromlist=["avg"])
+        .avg(__import__("pyspark.sql.functions", fromlist=["col"])
+             .col("r_quality").cast("double"))).collect()[0][0]
+    assert frac is not None and frac >= 0.9, frac
