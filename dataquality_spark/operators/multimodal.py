@@ -2,10 +2,19 @@
 
 Media are opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` operators. The Spark-side plumbing — schemas,
-batch shapes, partition behavior, null handling — is real and tested; the
-actual codec work is STUBBED behind import-tries (this container ships no
-PIL/av/soundfile), with a deterministic fake decoder so tests can assert the
-full path end-to-end. Swap ``_decode_image_real`` in when the libs exist.
+batch shapes, partition behavior, null handling — is real and tested, and
+so is the codec work for the two formats decodable WITHOUT a codec library:
+
+  * PPM (P6): text header + raw RGB — full pixel decode in numpy.
+  * BMP (uncompressed 24-bit BITMAPINFOHEADER): struct header + padded
+    bottom-up rows — full pixel decode in numpy.
+
+Compressed formats (PNG/JPEG/...) dispatch to PIL behind an import-try
+(this container ships no PIL/av/soundfile) and surface
+``NotImplementedError`` in the ``err`` column; the deterministic FAKE
+format remains for plumbing tests that want header-only payloads. Resize
+is REAL (nearest-neighbor numpy resample re-encoded as PPM) for decodable
+pixel formats.
 
 Schema conventions:
     media(media_id long, kind string, payload binary, meta map<string,string>)
@@ -35,12 +44,96 @@ def encode_fake_image(width: int, height: int, channels: int = 3,
     return FAKE_MAGIC + struct.pack("<HHB", width, height, channels) + body
 
 
+# --- real pure-numpy codecs: PPM (P6) and uncompressed 24-bit BMP ----------
+
+def test_pixels(width: int, height: int) -> np.ndarray:
+    """Deterministic RGB test image (h, w, 3) uint8 — gradient + checker."""
+    y, x = np.mgrid[0:height, 0:width]
+    r = (x * 255 // max(width - 1, 1)).astype(np.uint8)
+    g = (y * 255 // max(height - 1, 1)).astype(np.uint8)
+    b = (((x // 4 + y // 4) % 2) * 255).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 parser: three whitespace-separated header tokens (comments
+    stripped), then maxval+1 raw RGB triples."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # tokenize header: magic, width, height, maxval; '#' starts a comment
+    toks, i, n = [], 2, len(payload)
+    while len(toks) < 3 and i < n:
+        while i < n and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < n and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    i += 1  # single whitespace after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3).copy()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP (BITMAPINFOHEADER)."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                      2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # BGR, bottom-up
+    return header + dib + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flipped = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=row_size * h,
+                         offset=off).reshape(h, row_size)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return (px[::-1] if flipped else px).copy()
+
+
+def decode_pixels(payload: bytes) -> np.ndarray:
+    """Full pixel decode for the numpy-decodable formats; raises for
+    others (FAKE has no pixels; compressed formats need PIL)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError("no pure-numpy pixel decode for this format")
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real image decode needs PIL — not in this container") from e
+            "compressed-image decode needs PIL — not in this container") from e
     import io
     from PIL import Image
     im = Image.open(io.BytesIO(payload))
@@ -50,9 +143,13 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
 def _decode_one(payload) -> tuple[int, int, int]:
     if payload is None or len(payload) == 0:
         raise ValueError("empty payload")
-    if bytes(payload[:4]) == FAKE_MAGIC:
+    head = bytes(payload[:4])
+    if head == FAKE_MAGIC:
         w, h, c = struct.unpack("<HHB", bytes(payload[4:9]))
         return w, h, c
+    if head[:2] in (b"P6", b"BM"):
+        px = decode_pixels(bytes(payload))
+        return px.shape[1], px.shape[0], px.shape[2]
     return _decode_image_real(bytes(payload))
 
 
@@ -91,18 +188,37 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
         decode, DECODED_SCHEMA)
 
 
-def resize_stub(df: DataFrame, target_w: int, target_h: int,
-                payload_col: str = "payload") -> DataFrame:
-    """Resize plumbing: fake payloads are re-encoded at the target geometry;
-    real codecs raise NotImplementedError into the err column."""
+def resize_pixels(px: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (h,w,3) → (target_h,target_w,3), pure
+    numpy fancy indexing — the batch-shaped kernel a real resize stage
+    runs; swap for an interpolating kernel without touching the plumbing."""
+    h, w, _ = px.shape
+    yi = (np.arange(target_h) * h) // target_h
+    xi = (np.arange(target_w) * w) // target_w
+    return px[yi][:, xi]
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int,
+                 payload_col: str = "payload") -> DataFrame:
+    """REAL resize for the numpy-decodable pixel formats (PPM/BMP →
+    nearest-neighbor → re-encoded PPM); FAKE payloads re-encode at the
+    target geometry (header-only plumbing); anything else captures its
+    error per row, never failing the job."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, errs = [], []
             for payload in pdf[payload_col]:
                 try:
-                    _w, _h, c = _decode_one(payload)
-                    payloads.append(encode_fake_image(target_w, target_h, c))
+                    raw = None if payload is None else bytes(payload)
+                    if raw is not None and raw[:2] in (b"P6", b"BM"):
+                        out_px = resize_pixels(decode_pixels(raw),
+                                               target_w, target_h)
+                        payloads.append(encode_ppm(out_px))
+                    else:
+                        _w, _h, c = _decode_one(payload)
+                        payloads.append(
+                            encode_fake_image(target_w, target_h, c))
                     errs.append(None)
                 except Exception as e:
                     payloads.append(None)
@@ -114,6 +230,42 @@ def resize_stub(df: DataFrame, target_w: int, target_h: int,
             })
 
     return df.mapInPandas(resize, "media_id long, payload binary, err string")
+
+
+resize_stub = resize_media  # historical name
+
+
+def image_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-image feature extraction over REAL decoded pixels: per-channel
+    mean/std — the feature-extract stage of a multimodal training pipeline
+    (batch-shaped like decode_media; errors per row)."""
+    schema = ("media_id long, mean_r double, mean_g double, mean_b double, "
+              "std_gray double, err string")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "mean_r": np.full(n, np.nan),
+                "mean_g": np.full(n, np.nan),
+                "mean_b": np.full(n, np.nan),
+                "std_gray": np.full(n, np.nan),
+                "err": np.array([None] * n, dtype=object),
+            }
+            for i, payload in enumerate(pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("empty payload")
+                    px = decode_pixels(bytes(payload)).astype(np.float64)
+                    means = px.mean(axis=(0, 1))
+                    out["mean_r"][i], out["mean_g"][i], out["mean_b"][i] = means
+                    out["std_gray"][i] = float(px.mean(axis=2).std())
+                except Exception as e:
+                    out["err"][i] = f"{type(e).__name__}: {e}"[:200]
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", payload_col).mapInPandas(feats, schema)
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -1826,6 +1826,34 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q51 — real image decode + feature extraction (rows-only: binary pixel
+# payloads are not SQL-constructible; the codecs and kernels are
+# pytest-verified against numpy in tests/test_multimodal.py): PPM payloads
+# synthesized per row, decoded and feature-extracted by the pure-numpy
+# codec path in `operators/multimodal.py` — no PIL, real pixels.
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dataquality_spark.operators.multimodal import (
+        encode_ppm, image_features, test_pixels)
+
+    @F.pandas_udf("binary")
+    def make_ppm(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: encode_ppm(
+            test_pixels(8 + int(i) % 24, 6 + int(i) % 16)))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    media = emb.select(F.col("vec_id").alias("media_id"),
+                       make_ppm("vec_id").alias("payload"))
+    out = image_features(media)
+    return out.select("media_id", F.round("mean_r", 4).alias("mean_r"),
+                      F.round("mean_g", 4).alias("mean_g"),
+                      F.round("mean_b", 4).alias("mean_b"),
+                      F.round("std_gray", 4).alias("std_gray"))
+
+
+# ---------------------------------------------------------------------------
 # Q50 — fastText-style learned quality filter (rows-only: the model is a
 # trained artifact, not SQL-expressible — its correctness gate is the
 # held-out separation + UDF-parity pytest in tests/test_models.py):
@@ -1907,6 +1935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (non-SQL-expressible: model UDFs, LSH plans)
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     "quality_classifier": q_quality_classifier,
+    "image_features": q_image_features,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,

@@ -50,3 +50,76 @@ def test_frame_sample(spark, media):
     v = out[out.media_id == 5]
     # 640+9 header bytes → 10 frames → samples at 0,3,6,9
     assert list(v["frame_idx"]) == [0, 3, 6, 9]
+
+
+def test_ppm_bmp_roundtrip():
+    """Pure-numpy codecs: encode→decode is pixel-exact for both formats,
+    including BMP's bottom-up BGR padded rows (odd width forces padding)."""
+    import numpy as np
+    from dataquality_spark.operators.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_ppm, test_pixels)
+    for w, h in [(7, 5), (16, 16), (33, 2)]:
+        px = test_pixels(w, h)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+    # PPM comments in the header parse
+    px = test_pixels(3, 3)
+    payload = encode_ppm(px)
+    commented = b"P6\n# a comment\n3 3\n255\n" + payload.split(b"255\n", 1)[1]
+    assert np.array_equal(decode_ppm(commented), px)
+
+
+def test_decode_media_real_formats(spark):
+    """decode_media reads real PPM/BMP dimensions; corrupt and
+    PIL-needing payloads capture errors per row."""
+    from dataquality_spark.operators.multimodal import (
+        decode_media, encode_bmp, encode_ppm, test_pixels)
+    rows = [
+        (0, "image", encode_ppm(test_pixels(12, 8))),
+        (1, "image", encode_bmp(test_pixels(9, 4))),
+        (2, "image", b"\x89PNG\r\n\x1a\nxxxx"),   # needs PIL → err
+        (3, "image", b"BM" + b"\x00" * 10),        # corrupt BMP → err
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = decode_media(df).toPandas().set_index("media_id").sort_index()
+    assert (out.loc[0, "width"], out.loc[0, "height"]) == (12, 8)
+    assert (out.loc[1, "width"], out.loc[1, "height"]) == (9, 4)
+    assert bool(out.loc[0, "ok"]) and bool(out.loc[1, "ok"])
+    assert not bool(out.loc[2, "ok"]) and "NotImplementedError" in out.loc[2, "err"]
+    assert not bool(out.loc[3, "ok"])
+
+
+def test_resize_media_real_pixels(spark):
+    """Resize really resamples: output decodes at the target geometry and
+    equals the numpy nearest-neighbor reference."""
+    import numpy as np
+    from dataquality_spark.operators.multimodal import (
+        decode_ppm, encode_bmp, encode_ppm, resize_media, resize_pixels,
+        test_pixels)
+    src_ppm, src_bmp = test_pixels(16, 12), test_pixels(10, 10)
+    df = spark.createDataFrame(
+        [(0, encode_ppm(src_ppm)), (1, encode_bmp(src_bmp))],
+        "media_id long, payload binary")
+    out = resize_media(df, 8, 6).toPandas().set_index("media_id").sort_index()
+    assert out["err"].isna().all()
+    got0 = decode_ppm(bytes(out.loc[0, "payload"]))
+    assert got0.shape == (6, 8, 3)
+    assert np.array_equal(got0, resize_pixels(src_ppm, 8, 6))
+    got1 = decode_ppm(bytes(out.loc[1, "payload"]))
+    assert np.array_equal(got1, resize_pixels(src_bmp, 8, 6))
+
+
+def test_image_features_match_numpy(spark):
+    import numpy as np
+    from dataquality_spark.operators.multimodal import (
+        encode_ppm, image_features, test_pixels)
+    px = test_pixels(20, 10)
+    df = spark.createDataFrame(
+        [(0, encode_ppm(px)), (1, None)], "media_id long, payload binary")
+    out = image_features(df).toPandas().set_index("media_id").sort_index()
+    want = px.astype(np.float64).mean(axis=(0, 1))
+    assert abs(out.loc[0, ["mean_r", "mean_g", "mean_b"]].to_numpy()
+               - want).max() < 1e-9
+    assert abs(out.loc[0, "std_gray"]
+               - px.astype(np.float64).mean(axis=2).std()) < 1e-9
+    assert out.loc[1, "err"] is not None
