@@ -128,6 +128,87 @@ def decode_pixels(payload: bytes) -> np.ndarray:
     raise ValueError("no pure-numpy pixel decode for this format")
 
 
+# --- real pure-numpy audio codec: WAV (RIFF PCM16) -------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """PCM16 WAV; ``samples`` is (n,) mono or (n, channels) int16."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    assert samples.dtype == np.int16
+    n, ch = samples.shape
+    data = samples.tobytes()  # interleaved row-major
+    byte_rate = sample_rate * ch * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                   byte_rate, ch * 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """→ (samples (n, channels) int16, sample_rate). Walks RIFF chunks, so
+    extra chunks (LIST, fact) before `data` parse fine."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(payload)
+    fmt = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", payload, body)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+            fmt = (ch, rate)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt")
+            ch, rate = fmt
+            count = (size // (2 * ch)) * ch
+            samples = np.frombuffer(payload, dtype="<i2", count=count,
+                                    offset=body)
+            return samples.reshape(-1, ch).copy(), rate
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-clip features over REAL decoded PCM: duration, RMS (float scale),
+    peak — the audio analogue of image_features; per-row error capture."""
+    schema = ("media_id long, duration_s double, rms double, peak double, "
+              "n_channels int, err string")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "duration_s": np.full(n, np.nan),
+                "rms": np.full(n, np.nan),
+                "peak": np.full(n, np.nan),
+                "n_channels": np.zeros(n, dtype=np.int32),
+                "err": np.array([None] * n, dtype=object),
+            }
+            for i, payload in enumerate(pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("empty payload")
+                    samples, rate = decode_wav(bytes(payload))
+                    x = samples.astype(np.float64) / 32768.0
+                    out["duration_s"][i] = samples.shape[0] / rate
+                    out["rms"][i] = float(np.sqrt((x ** 2).mean()))
+                    out["peak"][i] = float(np.abs(x).max())
+                    out["n_channels"][i] = samples.shape[1]
+                except Exception as e:
+                    out["err"][i] = f"{type(e).__name__}: {e}"[:200]
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", payload_col).mapInPandas(feats, schema)
+
+
 def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
     try:
         from PIL import Image  # noqa: F401

@@ -1853,6 +1853,34 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("std_gray", 4).alias("std_gray"))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV (RIFF PCM16) decode + per-clip features — rows-only for the
+    same reason as image_features; codec pytest-verified sample-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from dataquality_spark.operators.multimodal import (
+        audio_features, encode_wav)
+
+    @F.pandas_udf("binary")
+    def make_wav(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            t = np.arange(400 + (i % 7) * 100)
+            f = 220.0 * (1 + i % 5)
+            x = (np.sin(2 * np.pi * f * t / 8000) * 18000).astype(np.int16)
+            return encode_wav(x, sample_rate=8000)
+        return ids.map(lambda i: one(int(i)))
+
+    emb = _t(spark, sf_dir, "embeddings")
+    media = emb.select(F.col("vec_id").alias("media_id"),
+                       make_wav("vec_id").alias("payload"))
+    out = audio_features(media)
+    return out.select("media_id",
+                      F.round("duration_s", 4).alias("duration_s"),
+                      F.round("rms", 4).alias("rms"),
+                      F.round("peak", 4).alias("peak"), "n_channels")
+
+
 # ---------------------------------------------------------------------------
 # Q50 — fastText-style learned quality filter (rows-only: the model is a
 # trained artifact, not SQL-expressible — its correctness gate is the
@@ -1936,6 +1964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     "quality_classifier": q_quality_classifier,
     "image_features": q_image_features,
+    "audio_features": q_audio_features,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,

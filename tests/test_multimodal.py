@@ -123,3 +123,35 @@ def test_image_features_match_numpy(spark):
     assert abs(out.loc[0, "std_gray"]
                - px.astype(np.float64).mean(axis=2).std()) < 1e-9
     assert out.loc[1, "err"] is not None
+
+
+def test_wav_roundtrip_and_features(spark):
+    """PCM16 WAV: sample-exact round-trip (mono + stereo, incl. an extra
+    RIFF chunk before data); audio_features match numpy."""
+    import numpy as np
+    from dataquality_spark.operators.multimodal import (
+        audio_features, decode_wav, encode_wav)
+    t = np.arange(1600)
+    mono = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    stereo = np.stack([mono, (mono // 2)], axis=1)
+    got_m, rate_m = decode_wav(encode_wav(mono))
+    assert rate_m == 16000 and np.array_equal(got_m[:, 0], mono)
+    got_s, _ = decode_wav(encode_wav(stereo, sample_rate=8000))
+    assert np.array_equal(got_s, stereo)
+    # extra LIST chunk between fmt and data still parses
+    raw = encode_wav(mono)
+    extra = raw[:12] + raw[12:36] + b"LIST" + b"\x04\x00\x00\x00INFO" + raw[36:]
+    got_e, _ = decode_wav(extra)
+    assert np.array_equal(got_e[:, 0], mono)
+
+    df = spark.createDataFrame(
+        [(0, encode_wav(mono)), (1, encode_wav(stereo, sample_rate=8000)),
+         (2, b"RIFFxxxx")],
+        "media_id long, payload binary")
+    out = audio_features(df).toPandas().set_index("media_id").sort_index()
+    x = mono.astype(np.float64) / 32768.0
+    assert abs(out.loc[0, "duration_s"] - 0.1) < 1e-9
+    assert abs(out.loc[0, "rms"] - np.sqrt((x ** 2).mean())) < 1e-9
+    assert out.loc[1, "n_channels"] == 2
+    assert abs(out.loc[1, "duration_s"] - 0.2) < 1e-9
+    assert out.loc[2, "err"] is not None
