@@ -51,7 +51,8 @@ def _state_path(out_dir: str, i: int) -> str:
 
 def run_checkpointed(spark: SparkSession, pages: DataFrame, out_dir: str,
                      n_chunks: int = 8, max_chunks: int | None = None,
-                     salt_buckets: int = 64) -> dict:
+                     salt_buckets: int = 64,
+                     with_classifier: bool = False) -> dict:
     """Process all incomplete chunks in one input pass; returns run summary.
 
     ``max_chunks`` limits how many (incomplete) chunks to process this call —
@@ -69,7 +70,7 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, out_dir: str,
               .where(F.col("chunk").isin(todo)))
     cleanup: list[DataFrame] = []
     ann = P.run_pipeline(spark, subset, salt_buckets=salt_buckets,
-                         cleanup=cleanup)
+                         cleanup=cleanup, with_classifier=with_classifier)
     data_dir = os.path.join(out_dir, "data")
     # One job writes every todo chunk; dynamic mode replaces only the chunk=i
     # directories present in this write, leaving completed chunks intact.

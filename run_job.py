@@ -29,6 +29,9 @@ def main() -> int:
     ap.add_argument("--salt-buckets", default=64,
                 type=lambda v: v if v == "auto" else int(v))
     ap.add_argument("--master", default=None)
+    ap.add_argument("--with-classifier", action="store_true",
+                    help="gate keep on the learned quality classifier too "
+                         "(fused into the model UDF; adds the 'quality' rule)")
     args = ap.parse_args()
 
     from dataquality_spark import pipeline, scoring
@@ -46,7 +49,8 @@ def main() -> int:
 
     summary = run_checkpointed(spark, pages, args.output,
                                n_chunks=args.chunks,
-                               salt_buckets=args.salt_buckets)
+                               salt_buckets=args.salt_buckets,
+                               with_classifier=args.with_classifier)
     rows = lineage(args.output)
     agg: dict[str, dict] = {}
     for r in rows:
