@@ -71,3 +71,29 @@ def test_scrub_matches_oracle_on_generated_text(spark, rows):
         want = oracle.scrub_text(t)
         w = None if (want is None or (isinstance(want, float))) else want
         assert got[i] == w, (repr(t), got[i], w)
+
+
+# --- codec round-trip properties (pure numpy, no Spark session needed) -----
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 40), h=st.integers(1, 40), seed=st.integers(0, 2**31))
+def test_prop_image_codec_roundtrip(w, h, seed):
+    import numpy as np
+    from dataquality_spark.operators.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_ppm)
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(1, 2000), ch=st.integers(1, 2),
+       rate=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**31))
+def test_prop_wav_codec_roundtrip(n, ch, rate, seed):
+    import numpy as np
+    from dataquality_spark.operators.multimodal import decode_wav, encode_wav
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    got, got_rate = decode_wav(encode_wav(x, sample_rate=rate))
+    assert got_rate == rate and np.array_equal(got, x)
