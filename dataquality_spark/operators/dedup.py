@@ -412,3 +412,54 @@ def incremental_new_docs(new_docs: DataFrame, prior: DataFrame,
     return (hashed.join(prior_hashes.distinct(),
                         hashed["_nh"] == prior_hashes["_ph"], "left_anti")
             .drop("_nh"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "url",
+                           text_col: str = "text", max_hamming: int = 3,
+                           shingle_n: int = 2,
+                           max_bucket_size: int | None = 200) -> DataFrame:
+    """SimHash near-dup pairs, the Manku/Jain/Das Sarma WWW'07 web-dedup
+    design (public): split each 64-bit SimHash into 4 contiguous 16-bit
+    bands — any two hashes within Hamming distance ≤3 agree EXACTLY on at
+    least one band (pigeonhole), so candidate generation is four equi-joins
+    on (band_no, band_value) expressed as one explode + self-join, and the
+    verify stage is a cheap popcount on the XOR. Same plan skeleton as the
+    MinHash path (`near_dup_pairs`): bucket keys only in the join shuffle,
+    hot-bucket cap against boilerplate mega-buckets, dropDuplicates before
+    verify. Returns (id_a, id_b, hamming).
+
+    Guarantee is exact, not probabilistic: recall for distance ≤
+    ``max_hamming`` ≤ 3 is 100% (pigeonhole over 4 bands); wider distances
+    would need more/narrower bands.
+    """
+    if max_hamming > 3:
+        raise ValueError("4 bands guarantee recall only for max_hamming <= 3")
+    base = df.select(F.col(id_col).alias("_id"),
+                     simhash_udf(shingle_n)(F.col(text_col)).alias("_sh"))
+    bands = base.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.shiftrightunsigned("_sh", 16 * b)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("v"))
+            for b in range(4)])).alias("_band"))
+    buckets = bands.select("_id", "_sh", F.col("_band.b").alias("_b"),
+                           F.col("_band.v").alias("_v"))
+    if max_bucket_size is not None:
+        hot = (buckets.groupBy("_b", "_v")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_bucket_size)
+               .select("_b", "_v"))
+        buckets = buckets.join(F.broadcast(hot), ["_b", "_v"], "left_anti")
+    a = buckets.select(F.col("_id").alias("id_a"),
+                       F.col("_sh").alias("sh_a"), "_b", "_v")
+    b = buckets.select(F.col("_id").alias("id_b"),
+                       F.col("_sh").alias("sh_b"), "_b", "_v")
+    cand = (a.join(b, ["_b", "_v"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -1582,6 +1582,15 @@ WHERE rn <= 3
 """
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku-style banded SimHash near-dup join (rows-only: the signature
+    is a model UDF; the 100%-recall-at-Hamming≤3 guarantee and the
+    brute-force-oracle equality are pytest-verified)."""
+    from dataquality_spark.operators.dedup import simhash_near_dup_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, id_col="doc_id", max_hamming=3)
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints: distribution of 16-bit prefix buckets."""
     from dataquality_spark.operators.dedup import simhash_udf
@@ -1969,6 +1978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_scores": q_langid_scores,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     "simhash_buckets": q_simhash_buckets,
+    "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
 }
 

@@ -236,3 +236,42 @@ def test_near_dup_containment_measure(spark):
 
     with pytest.raises(ValueError):
         near_dup_pairs(df, measure="dice")
+
+
+def test_simhash_near_dup_pairs_exact_recall(spark):
+    """Manku-style banded SimHash join: pairs within Hamming<=3 are found
+    with 100% recall (pigeonhole over 4x16-bit bands) and nothing beyond
+    the threshold survives — verified against a brute-force oracle."""
+    from itertools import combinations
+    from dataquality_spark.operators.dedup import (
+        shingles_py, simhash64_py, simhash_near_dup_pairs)
+
+    texts = {}
+    base = " ".join(f"word{i} tok{i * 3 % 97}" for i in range(120))
+    words = base.split()
+    texts["d0"] = base
+    for k in (1, 2, 5):  # increasing perturbation
+        texts[f"d{k}"] = " ".join(
+            w + "z" if i % (60 // k) == 0 else w for i, w in enumerate(words))
+    texts["far"] = " ".join(f"zzz{i} qq{i * 7}" for i in range(120))
+
+    hashes = {u: simhash64_py(shingles_py(t, 2)) & ((1 << 64) - 1)
+              for u, t in texts.items()}
+    want = set()
+    for a, b in combinations(sorted(texts), 2):
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3:
+            want.add((a, b))
+
+    df = spark.createDataFrame(
+        [(u, "2024-01-01", t) for u, t in texts.items()],
+        "url string, warc_ts string, text string")
+    got_rows = simhash_near_dup_pairs(df, max_hamming=3).collect()
+    got = {tuple(sorted((r["id_a"], r["id_b"]))) for r in got_rows}
+    assert got == want
+    assert want, "fixture must contain at least one close pair"
+    for r in got_rows:
+        a, b = r["id_a"], r["id_b"]
+        assert r["hamming"] == bin(hashes[a] ^ hashes[b]).count("1")
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=4)
