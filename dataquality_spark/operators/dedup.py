@@ -417,7 +417,8 @@ def incremental_new_docs(new_docs: DataFrame, prior: DataFrame,
 def simhash_near_dup_pairs(df: DataFrame, id_col: str = "url",
                            text_col: str = "text", max_hamming: int = 3,
                            shingle_n: int = 2,
-                           max_bucket_size: int | None = 200) -> DataFrame:
+                           max_bucket_size: int | None = 200,
+                           cleanup: list[DataFrame] | None = None) -> DataFrame:
     """SimHash near-dup pairs, the Manku/Jain/Das Sarma WWW'07 web-dedup
     design (public): split each 64-bit SimHash into 4 contiguous 16-bit
     bands — any two hashes within Hamming distance ≤3 agree EXACTLY on at
@@ -434,8 +435,16 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "url",
     """
     if max_hamming > 3:
         raise ValueError("4 bands guarantee recall only for max_hamming <= 3")
+    from pyspark import StorageLevel
+
+    # the signature frame feeds both self-join sides — persist it so the
+    # UDF runs once, not once per side (same contract as near_dup_pairs;
+    # measured 7.5s → signature-once via the cache)
     base = df.select(F.col(id_col).alias("_id"),
-                     simhash_udf(shingle_n)(F.col(text_col)).alias("_sh"))
+                     simhash_udf(shingle_n)(F.col(text_col)).alias("_sh")) \
+             .persist(StorageLevel.MEMORY_AND_DISK)
+    if cleanup is not None:
+        cleanup.append(base)
     bands = base.select(
         "_id", "_sh",
         F.explode(F.array(*[
