@@ -1,0 +1,109 @@
+"""HTML → text extraction (the step upstream of every text-quality rule).
+
+The input contract (BASELINE.json input_hint) carries both ``html: binary``
+and ``text: string``; the north rule's per-row invariant is BYTE-IDENTICAL
+extracted text per url. This module makes that literal: a real HTML parser
+(stdlib ``html.parser`` — event-driven, entity-decoding, no external
+dependency) runs inside an Arrow-batched pandas UDF, and the pipeline can
+derive ``text`` from ``html`` instead of trusting the upstream column.
+
+Extraction policy (deterministic, documented — byte-identity demands an
+exact spec, not "whatever the library does"):
+  * ``script``/``style``/``template``/``noscript``/``head``/``title``
+    subtrees contribute nothing (nesting-counted, so unbalanced close tags
+    cannot unskip).
+  * block-level boundaries (p, div, br, li, tr, headings, …) emit exactly
+    one ``\\n`` each at open AND close; inline tags (span, a, b, …) emit
+    nothing.
+  * text nodes are emitted VERBATIM — no whitespace collapsing, no strip.
+    Normalization is the downstream rules' job (`functions/text.py`), and
+    verbatim emission is what makes extract(wrap(text)) == text exact.
+  * character/entity references decode (&amp; &#65; &lt; …) via
+    ``convert_charrefs``.
+  * bytes decode as UTF-8 with ``errors="replace"`` — a mojibake page
+    yields replacement chars, never a task failure.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SKIP_TAGS = frozenset({"script", "style", "template", "noscript", "head",
+                       "title"})
+BLOCK_TAGS = frozenset({
+    "p", "div", "br", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "tr", "table", "section", "article", "header", "footer", "blockquote",
+    "pre", "hr",
+})
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in SKIP_TAGS:
+            self._skip += 1
+        elif tag in BLOCK_TAGS and not self._skip:
+            self.parts.append("\n")
+
+    # <br/> and friends arrive here, not at handle_starttag
+    def handle_startendtag(self, tag, attrs):
+        if tag in BLOCK_TAGS and not self._skip:
+            self.parts.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in BLOCK_TAGS and not self._skip:
+            self.parts.append("\n")
+
+    def handle_data(self, data):
+        if not self._skip:
+            self.parts.append(data)
+
+
+def extract_text_py(html: bytes | str | None) -> str | None:
+    """Scalar spec (the testable oracle the UDF must match)."""
+    if html is None:
+        return None
+    raw = html.decode("utf-8", errors="replace") if isinstance(
+        html, (bytes, bytearray, memoryview)) else html
+    p = _Extractor()
+    p.feed(raw)
+    p.close()
+    return "".join(p.parts)
+
+
+def extract_text_udf():
+    """pandas UDF: html binary/string → extracted text. The parser is
+    CPython C-accelerated event dispatch; one UDF crossing per batch, the
+    same Arrow placement rules as the model UDFs apply."""
+
+    @F.pandas_udf("string")
+    def extract(html_s: pd.Series) -> pd.Series:
+        return pd.Series([extract_text_py(h) for h in html_s], dtype=object)
+
+    return extract
+
+
+def with_extracted_text(df: DataFrame, html_col: str = "html",
+                        out_col: str = "text") -> DataFrame:
+    """Derive/replace the text column from raw HTML — lets the pipeline
+    start from crawl bytes instead of trusting an upstream extraction."""
+    return df.withColumn(out_col, extract_text_udf()(F.col(html_col)))
+
+
+def escape_html(text: Column) -> Column:
+    """Native-expression HTML entity escaping (&, <, > — in that order, so
+    ampersands in the input never double-escape); the inverse of the
+    extractor's entity decoding, used by the round-trip oracle."""
+    return F.replace(F.replace(F.replace(text, F.lit("&"), F.lit("&amp;")),
+                               F.lit("<"), F.lit("&lt;")),
+                     F.lit(">"), F.lit("&gt;"))

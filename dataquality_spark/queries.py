@@ -1835,6 +1835,31 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q52 — HTML→text extraction, BYTE-EXACT oracle: the documents text is
+# entity-escaped and wrapped into real HTML on the Spark side, then run
+# through the stdlib-parser extraction UDF (`functions/html_extract.py`);
+# the oracle is the identity projection — the whole escape→parse→decode
+# chain must reproduce every byte of every document.
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.functions.html_extract import (
+        escape_html, with_extracted_text)
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head><title>d</title></head><body>"),
+                 escape_html(F.col("text")),
+                 F.lit("</body></html>")).cast("binary").alias("html"))
+    return (with_extracted_text(wrapped, out_col="extracted")
+            .select("doc_id", "extracted"))
+
+
+_SQL_HTML_EXTRACT = """
+SELECT doc_id, text AS extracted FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q51 — real image decode + feature extraction (rows-only: binary pixel
 # payloads are not SQL-constructible; the codecs and kernels are
 # pytest-verified against numpy in tests/test_multimodal.py): PPM payloads
@@ -1973,6 +1998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     "quality_classifier": q_quality_classifier,
     "image_features": q_image_features,
+    "html_extract": q_html_extract,
     "audio_features": q_audio_features,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
@@ -2031,4 +2057,5 @@ ORACLE_SQL: dict[str, str] = {
     "decontaminate": _SQL_DECONTAMINATE,
     "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "quality_buckets": _SQL_QUALITY_BUCKETS,
+    "html_extract": _SQL_HTML_EXTRACT,
 }

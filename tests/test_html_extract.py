@@ -1,0 +1,79 @@
+"""HTML→text extraction: scalar-spec fixtures, UDF parity, and the
+north-rule byte-identity gate on the synthetic corpus."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataquality_spark.functions.html_extract import (
+    escape_html,
+    extract_text_py,
+    extract_text_udf,
+    with_extracted_text,
+)
+
+CASES = [
+    # simple wrapper: verbatim body (the synth corpus shape)
+    (b"<html><body>hello world</body></html>", "hello world"),
+    # script/style subtrees contribute nothing, even nested/unbalanced
+    (b"<div>a<script>var x = '<b>no</b>';</script>b</div>", "\nab\n"),
+    (b"<style>p { color: red }</style>text", "text"),
+    (b"<noscript><p>enable js</p></noscript>ok", "ok"),
+    # block boundaries emit \n; inline tags emit nothing
+    (b"<p>one</p><p>two</p>", "\none\n\ntwo\n"),
+    (b"a<br/>b", "a\nb"),
+    (b"<span>in</span><a href='x'>line</a>", "inline"),
+    # entities decode
+    (b"fish &amp; chips &lt;3 &#65;", "fish & chips <3 A"),
+    # mojibake bytes never fail
+    (b"ok \xff\xfe end", "ok �� end"),
+    # comments and attributes are not text
+    (b"<!-- hidden --><div class='x'>shown</div>", "\nshown\n"),
+    # head/title subtrees are not content
+    (b"<head><title>T</title><meta x='y'></head><body>bod</body>", "bod"),
+    (None, None),
+    (b"", ""),
+]
+
+
+def test_extract_text_scalar_spec():
+    for html, want in CASES:
+        assert extract_text_py(html) == want, html
+
+
+def test_extract_text_udf_parity(spark):
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(CASES)],
+                               "i: long, html: binary")
+    got = (df.select("i", extract_text_udf()(F.col("html")).alias("t"))
+           .toPandas().sort_values("i")["t"].tolist())
+    want = [w for _, w in CASES]
+    got = [None if g is None or (isinstance(g, float) and pd.isna(g)) else g
+           for g in got]
+    assert got == want
+
+
+def test_synth_corpus_byte_identity(spark):
+    """The north-rule invariant, literal: extracting the synthetic corpus's
+    html reproduces its text column byte-for-byte (non-empty html rows)."""
+    from dataquality_spark.synth import generate_pages
+    pages = generate_pages(spark, 2000, seed=42)
+    ex = with_extracted_text(pages.where(F.length("html") > 0),
+                             out_col="extracted")
+    # synth encodes html as wrap(text or "") — null text becomes an empty
+    # body, so the invariant is extracted == coalesce(text, '')
+    mismatches = ex.where(
+        ~F.col("extracted").eqNullSafe(
+            F.coalesce(F.col("text"), F.lit("")))).count()
+    assert mismatches == 0
+
+
+def test_escape_roundtrip(spark):
+    """escape_html (native exprs) → wrap → extract is the identity even for
+    texts containing &, <, > — exercises entity decoding end-to-end."""
+    texts = ["a & b", "x < y > z", "pre &amp; already", "plain", "<tag>"]
+    df = spark.createDataFrame([(t,) for t in texts], "t: string")
+    wrapped = df.select(
+        "t", F.concat(F.lit("<html><body>"), escape_html(F.col("t")),
+                      F.lit("</body></html>")).cast("binary").alias("html"))
+    out = with_extracted_text(wrapped, out_col="back").toPandas()
+    assert out["back"].tolist() == out["t"].tolist()
