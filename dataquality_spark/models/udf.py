@@ -104,10 +104,16 @@ def with_model_scores_and_scrub(spark: SparkSession, df: DataFrame,
                                 langid_art: dict, lm_art: dict,
                                 text_col: str = "text",
                                 lang_col: str = "lang",
-                                quality_art: dict | None = None) -> DataFrame:
+                                quality_art: dict | None = None,
+                                lang_optional: bool = False) -> DataFrame:
     """Fused pipeline stage: same columns as ``with_model_scores`` plus
     ``scrubbed_text`` (and, with ``quality_art``, ``q_prob`` +
-    ``r_quality``), in a single Python runner."""
+    ``r_quality``), in a single Python runner.
+
+    ``lang_optional=True`` is the raw-crawl mode: pages straight from WARC
+    carry no claimed language, so a NULL ``lang`` passes the language rule
+    whenever the model is confident (the claimed-vs-predicted agreement
+    check only applies where a claim exists)."""
     udf = make_score_scrub_udf(spark, langid_art, lm_art,
                                quality_art=quality_art)
     df = df.withColumn("_m", udf(F.col(text_col)))
@@ -115,13 +121,16 @@ def with_model_scores_and_scrub(spark: SparkSession, df: DataFrame,
               "_m.lp_ok", "_m.scrubbed_text"]
     if quality_art is not None:
         fields.append("_m.q_prob")
+    agree = F.col("pred_lang") == F.col(lang_col)
+    if lang_optional:
+        agree = F.col(lang_col).isNull() | agree
     out = (
         df.select("*", *fields)
         .drop("_m")
         .withColumn(
             "r_lang_match",
             F.col("pred_lang").isNotNull()
-            & (F.col("pred_lang") == F.col(lang_col))
+            & agree
             & (F.col("lang_conf") >= spec.MIN_LANGID_CONF),
         )
         .withColumn("r_perplexity", F.col("lp_ok"))

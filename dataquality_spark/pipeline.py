@@ -43,7 +43,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
                  with_dedup: bool = True, salt_buckets: int | str = 64,
                  persist: bool = True,
                  cleanup: list[DataFrame] | None = None,
-                 with_classifier: bool = False) -> DataFrame:
+                 with_classifier: bool = False,
+                 lang_optional: bool = False) -> DataFrame:
     """pages → annotated frame with all rule flags, keep, scrubbed_text.
 
     ``keep`` = every heuristic + model rule passes AND the row is its exact-dup
@@ -90,7 +91,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
         from dataquality_spark.models import quality
         q_art = quality.train_quality()
     df = with_model_scores_and_scrub(spark, df, art["langid"], art["lm"],
-                                     quality_art=q_art)
+                                     quality_art=q_art,
+                                     lang_optional=lang_optional)
     df = with_rule_flags(df)
     gate = F.col("heuristic_pass") & F.col("r_lang_match") & F.col("r_perplexity")
     if with_classifier:
@@ -184,3 +186,22 @@ def metrics_from_decisions(decisions: DataFrame) -> DataFrame:
                        F.round(F.col("pass_count")
                                / (F.col("pass_count") + F.col("fail_count")), 6))
                 .alias("score")))
+
+
+def run_from_crawl(spark: SparkSession, warc_path: str,
+                   **pipeline_kwargs) -> DataFrame:
+    """The complete crawl-bytes → decisions DAG: WARC archives → per-record
+    (url, warc_ts, html) → stdlib HTML→text extraction → the full quality
+    pipeline in raw-crawl mode (no claimed language column — the language
+    rule passes on model confidence alone; see ``lang_optional``).
+
+    One extra Arrow UDF stage (the extractor) ahead of the fused model UDF;
+    everything downstream is the standard single-engineered-shuffle plan.
+    """
+    from dataquality_spark.functions.html_extract import with_extracted_text
+    from dataquality_spark.sources.warc import read_warc
+
+    pages = (with_extracted_text(read_warc(spark, warc_path), out_col="text")
+             .withColumn("lang", F.lit(None).cast("string")))
+    pipeline_kwargs.setdefault("lang_optional", True)
+    return run_pipeline(spark, pages, **pipeline_kwargs)

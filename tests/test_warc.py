@@ -78,3 +78,34 @@ def test_truncated_warc_stops_cleanly():
     raw = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9999\r\n\r\nshort"
     assert list(iter_warc_records(raw))[0][1] == b"short"
     assert pages_from_warc_bytes(b"garbage").empty
+
+
+def test_run_from_crawl_end_to_end(spark, tmp_path):
+    """WARC bytes in, keep/drop decisions out — the north-rule DAG starting
+    from crawl archives instead of a prepared pages table."""
+    from dataquality_spark import pipeline as P
+
+    from dataquality_spark.models import corpus
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    # seed-corpus vocabulary so the (synthetic-corpus-trained) perplexity
+    # gate sees in-distribution text
+    body = " ".join(corpus.seed_corpus("en", n_docs=3))
+    recs = [(f"http://site{i}.example/p", "2024-01-02T03:04:05Z",
+             f"<html><body>{body}</body></html>".encode()) for i in range(4)]
+    recs.append(("http://junk.example/p", "2024-01-02T03:04:06Z",
+                 b"<html><body>#@%^ #@%^ #@%^</body></html>"))
+    write_warc(recs, str(d / "part-0.warc.gz"))
+
+    ann = P.run_from_crawl(spark, str(d), persist=False)
+    rows = {r["url"]: r for r in
+            ann.select("url", "keep", "pred_lang", "r_lang_match").collect()}
+    assert len(rows) == 5
+    # identical-content pages: exactly one survives exact dedup
+    kept = [u for u, r in rows.items() if r["keep"] and "site" in u]
+    assert len(kept) == 1
+    # symbol junk never passes
+    assert not rows["http://junk.example/p"]["keep"]
+    # raw-crawl mode: null claimed lang + confident model => rule passes
+    assert rows[kept[0]]["r_lang_match"] and rows[kept[0]]["pred_lang"] == "en"
