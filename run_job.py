@@ -22,6 +22,8 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input-warc", help="WARC archive dir/glob (.warc/.warc.gz) "
+                    "— crawl bytes in, text extracted + language inferred")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic pages instead of --input")
     ap.add_argument("--output", required=True, help="run directory")
@@ -40,17 +42,27 @@ def main() -> int:
     from dataquality_spark.synth import generate_pages
 
     spark = get_spark(app_name="dq_run", master=args.master)
+    lang_optional = False
     if args.synthetic:
         pages = generate_pages(spark, args.synthetic, seed=42)
+    elif args.input_warc:
+        from dataquality_spark.functions.html_extract import with_extracted_text
+        from dataquality_spark.sources.warc import read_warc
+        from pyspark.sql import functions as F
+        pages = (with_extracted_text(read_warc(spark, args.input_warc),
+                                     out_col="text")
+                 .withColumn("lang", F.lit(None).cast("string")))
+        lang_optional = True
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:
-        ap.error("need --input or --synthetic")
+        ap.error("need --input, --input-warc, or --synthetic")
 
     summary = run_checkpointed(spark, pages, args.output,
                                n_chunks=args.chunks,
                                salt_buckets=args.salt_buckets,
-                               with_classifier=args.with_classifier)
+                               with_classifier=args.with_classifier,
+                               lang_optional=lang_optional)
     rows = lineage(args.output)
     agg: dict[str, dict] = {}
     for r in rows:
