@@ -1,0 +1,78 @@
+"""Sequence packing: concatenate-and-chunk corpus prep for LLM training.
+
+Training pipelines pack documents into fixed-length context windows by
+concatenating the token stream in a deterministic order and slicing every
+``ctx_len`` tokens (the GPT-style pack; each document lands at a global
+token offset, and the chunk id is just ``offset // ctx_len``). The whole
+problem is therefore a GLOBAL running sum of token counts in a total order
+— and the naive Spark spelling, ``Window.orderBy(...)`` with no partition
+key, collapses to ONE task holding the entire corpus.
+
+``with_global_offset`` is the scale-safe spelling — the classic two-phase
+distributed prefix sum:
+
+  1. range-partition by the order key (``repartitionByRange`` — Spark
+     samples the key distribution, so partitions are balanced even for
+     skewed keys), then a WITHIN-partition running sum via a window keyed
+     on ``spark_partition_id()`` — parallel across partitions;
+  2. per-partition totals (one tiny agg, #partitions rows) are collected,
+     their exclusive prefix is computed on the driver, and a broadcast map
+     join adds each partition's base offset.
+
+Wall-clock is two scans + one tiny collect instead of a single-reducer
+sort; the order (key asc, then tiebreak) is identical to the one-partition
+window, which is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_offset(df: DataFrame, size_col: str, order_by: list[str],
+                       out_col: str = "offset",
+                       num_partitions: int | None = None) -> DataFrame:
+    """Append ``out_col`` = exclusive global running sum of ``size_col`` in
+    the total order given by ``order_by`` (columns must form a total order;
+    ties would make the prefix sum nondeterministic)."""
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_by])
+    ranged = (ranged.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_cum_in",
+                          F.sum(F.col(size_col)).over(
+                              Window.partitionBy("_pid")
+                              .orderBy(*[F.col(c) for c in order_by])
+                              .rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow))))
+    totals = (ranged.groupBy("_pid")
+              .agg(F.sum(size_col).alias("_tot"))
+              .collect())
+    base, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        base[r["_pid"]] = acc
+        acc += r["_tot"]
+    base_map = F.create_map(
+        *[F.lit(x) for kv in base.items() for x in kv]) if base else F.create_map()
+    return (ranged
+            .withColumn(out_col,
+                        F.coalesce(base_map[F.col("_pid")], F.lit(0))
+                        + F.col("_cum_in") - F.col(size_col))
+            .drop("_pid", "_cum_in"))
+
+
+def pack_sequences(df: DataFrame, ctx_len: int, size_col: str = "n_tokens",
+                   order_by: list[str] | None = None) -> DataFrame:
+    """Concatenate-and-chunk packing: each doc gets its global token
+    ``offset``, the training chunk it starts in (``chunk_id``), and its
+    position within that chunk (``chunk_pos``). A doc whose tokens cross a
+    chunk boundary spans into the next chunk, exactly as the concatenated
+    token stream would — the assignment is a pure function of the order, so
+    it is reproducible across runs, partitionings, and engines."""
+    if order_by is None:
+        order_by = ["doc_id"]
+    out = with_global_offset(df, size_col, order_by)
+    return (out.withColumn("chunk_id",
+                           (F.col("offset") / ctx_len).cast("long"))
+            .withColumn("chunk_pos", F.col("offset") % ctx_len))

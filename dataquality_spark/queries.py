@@ -1835,6 +1835,44 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q53 — sequence packing (concatenate-and-chunk, the GPT training-data
+# pack): global token offsets in a deterministic order → chunk id + intra-
+# chunk position. The Spark side is the two-phase distributed prefix sum
+# (`operators/packing.py` — NEVER a single-partition global window); the
+# oracle is the naive global window cumsum, which must agree exactly.
+
+_CTX_LEN = 512
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.size(TX.words_col(F.col("text"))).cast("long")
+        .alias("n_tokens"),
+        F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647)).alias("h"))
+    out = pack_sequences(base, ctx_len=_CTX_LEN, order_by=["h", "doc_id"])
+    return out.select("doc_id", "n_tokens", "offset", "chunk_id",
+                      "chunk_pos")
+
+
+_SQL_SEQUENCE_PACK = f"""
+SELECT doc_id, n_tokens,
+       (cum - n_tokens)::bigint AS offset,
+       ((cum - n_tokens) // {_CTX_LEN})::bigint AS chunk_id,
+       ((cum - n_tokens) % {_CTX_LEN})::bigint AS chunk_pos
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT doc_id, len({_SQL_WORDS})::bigint AS n_tokens,
+               ((doc_id * 2654435761) % 2147483647 + 2147483647)
+               % 2147483647 AS h
+        FROM documents))
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q52 — HTML→text extraction, BYTE-EXACT oracle: the documents text is
 # entity-escaped and wrapped into real HTML on the Spark side, then run
 # through the stdlib-parser extraction UDF (`functions/html_extract.py`);
@@ -1999,6 +2037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "image_features": q_image_features,
     "html_extract": q_html_extract,
+    "sequence_pack": q_sequence_pack,
     "audio_features": q_audio_features,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
@@ -2058,4 +2097,5 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "quality_buckets": _SQL_QUALITY_BUCKETS,
     "html_extract": _SQL_HTML_EXTRACT,
+    "sequence_pack": _SQL_SEQUENCE_PACK,
 }

@@ -153,3 +153,44 @@ def test_fuzzy_dedup_numeric_ids(spark):
     # numeric ids keep their own values as labels (min id in component)
     assert comp[1] == comp[2] == 1
     assert comp[3] == 3
+
+
+def test_global_offset_matches_single_partition_window(spark):
+    """The two-phase distributed prefix sum must equal the naive global
+    window for any partitioning."""
+    import random
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from dataquality_spark.operators.packing import with_global_offset
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "doc_id: long, n_tokens: long") \
+        .repartition(7)
+    got = {r["doc_id"]: r["offset"]
+           for r in with_global_offset(df, "n_tokens",
+                                       ["doc_id"]).collect()}
+    w = (Window.orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    want = {r["doc_id"]: r["off"]
+            for r in df.withColumn(
+                "off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            .collect()}
+    assert got == want
+
+
+def test_pack_sequences_chunks(spark):
+    from dataquality_spark.operators.packing import pack_sequences
+    df = spark.createDataFrame(
+        [(1, 600), (2, 300), (3, 200), (4, 1500), (5, 10)],
+        "doc_id: long, n_tokens: long")
+    out = {r["doc_id"]: (r["offset"], r["chunk_id"], r["chunk_pos"])
+           for r in pack_sequences(df, ctx_len=1024).collect()}
+    assert out == {
+        1: (0, 0, 0),
+        2: (600, 0, 600),
+        3: (900, 0, 900),      # crosses into chunk 1 — starts in chunk 0
+        4: (1100, 1, 76),
+        5: (2600, 2, 552),
+    }
