@@ -1835,6 +1835,29 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q54 — Z-order (Morton) layout keys: the multi-dimension clustering key
+# for scan pruning at scale (`functions/zorder.py`). Both engines compute
+# the identical magic-number bit-spread arithmetic — the oracle checks the
+# keys bit-for-bit.
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.functions.zorder import zorder_key2
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", "p_size",
+        zorder_key2(F.col("p_size"),
+                    F.col("p_partkey").bitwiseAND(F.lit(0xFFFF)))
+        .alias("zkey"))
+
+
+def _sql_zorder() -> str:
+    from dataquality_spark.functions.zorder import sql_zorder_key2
+    return ("SELECT p_partkey, p_size, "
+            + sql_zorder_key2("p_size", "p_partkey & 65535")
+            + "::bigint AS zkey FROM part")
+
+
+# ---------------------------------------------------------------------------
 # Q53 — sequence packing (concatenate-and-chunk, the GPT training-data
 # pack): global token offsets in a deterministic order → chunk id + intra-
 # chunk position. The Spark side is the two-phase distributed prefix sum
@@ -2038,6 +2061,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_features": q_image_features,
     "html_extract": q_html_extract,
     "sequence_pack": q_sequence_pack,
+    "zorder_key": q_zorder_key,
     "audio_features": q_audio_features,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
@@ -2098,4 +2122,5 @@ ORACLE_SQL: dict[str, str] = {
     "quality_buckets": _SQL_QUALITY_BUCKETS,
     "html_extract": _SQL_HTML_EXTRACT,
     "sequence_pack": _SQL_SEQUENCE_PACK,
+    "zorder_key": _sql_zorder(),
 }

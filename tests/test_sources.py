@@ -194,3 +194,45 @@ def test_read_data_empty_csv_and_probe_boundary(spark, tmp_path):
     assert body[_PROBE_BYTES - 1:_PROBE_BYTES + 1] == "é".encode("utf-8")
     big.write_bytes(body + b",2\n")
     assert _is_utf8(str(big))  # boundary-truncated é is not a cp1252 signal
+
+
+def test_zorder_key_matches_scalar_spec(spark):
+    import random
+    from pyspark.sql import functions as F
+    from dataquality_spark.functions.zorder import (
+        zorder_key2, zorder_key2_py)
+    rng = random.Random(5)
+    rows = [(rng.randrange(1 << 16), rng.randrange(1 << 16))
+            for _ in range(200)] + [(0, 0), (65535, 65535), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, "a: long, b: long")
+    got = [r["k"] for r in
+           df.select(zorder_key2(F.col("a"), F.col("b")).alias("k"))
+           .collect()]
+    want = [zorder_key2_py(a, b) for a, b in rows]
+    assert got == want
+
+
+def test_write_zordered_prunes_both_dims(spark, tmp_path):
+    """The point of the layout: after a z-ordered write, a range predicate
+    on EITHER dimension touches a small fraction of files (per-file min/max
+    tiles), vs ~all files under a one-dimensional sort for the non-sorted
+    column."""
+    import itertools
+    from pyspark.sql import functions as F
+    from dataquality_spark.functions.zorder import write_zordered
+
+    rows = [(x, y) for x, y in itertools.product(range(256), range(256))]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, "x", "y", files=16)
+
+    back = spark.read.parquet(path).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    n_files = back.select("f").distinct().count()
+    assert n_files == 16
+    # a 1/8th range slice on each dimension
+    fx = back.where(F.col("x") < 32).select("f").distinct().count()
+    fy = back.where(F.col("y") < 32).select("f").distinct().count()
+    # each slice intersects a minority of tiles on BOTH dimensions (a
+    # 1-D x-sort would put y<32 rows in every file)
+    assert fx <= n_files // 2 and fy <= n_files // 2
