@@ -217,8 +217,10 @@ def top_ngram_char_frac_py(text: str | None, n: int) -> float:
     text or fewer than n words."""
     if not text:
         return 0.0
-    ws = _WS_ASCII.split(text.strip())
-    if len(ws) < n or ws == [""]:
+    # split-then-filter (NOT .strip(), which is unicode-aware and would
+    # diverge from the ASCII-\s JVM/SQL tokenization on NBSP-edged text)
+    ws = [w for w in _WS_ASCII.split(text) if w]
+    if len(ws) < n:
         return 0.0
     total = len(" ".join(ws))
     if total == 0:
@@ -235,8 +237,10 @@ def dup_ngram_char_frac_py(text: str | None, n: int) -> float:
     total (the standard overlap-counting simplification)."""
     if not text:
         return 0.0
-    ws = _WS_ASCII.split(text.strip())
-    if len(ws) < n or ws == [""]:
+    # split-then-filter (NOT .strip(), which is unicode-aware and would
+    # diverge from the ASCII-\s JVM/SQL tokenization on NBSP-edged text)
+    ws = [w for w in _WS_ASCII.split(text) if w]
+    if len(ws) < n:
         return 0.0
     total = len(" ".join(ws))
     if total == 0:

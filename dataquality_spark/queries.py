@@ -37,7 +37,11 @@ def _sql_stoplist(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in spec.STOPWORDS[lang]) + "]"
 
 
-_SQL_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+# Mirror TX.words_col EXACTLY: split on \s+ then FILTER empty tokens.
+# The earlier trim()-based form diverged on tab/newline-edged text (SQL
+# trim strips spaces only) — found by tests/test_differential.py fuzzing.
+_SQL_WORDS = ("list_filter(regexp_split_to_array(text, '\\s+'), "
+              "x -> x <> '')")
 
 
 def _sql_stop_cnt() -> str:
@@ -66,8 +70,10 @@ def q_heuristic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.word_count(words).alias("word_cnt"),
         F.round(TX.mean_word_len(words), 6).alias("mean_wlen"),
         F.round(TX.symbol_word_ratio(F.col("text"), words), 6).alias("symbol_frac"),
+        # nullif: empty docs yield NULL (no ANSI div-by-zero) — fuzz-found
         F.round(TX.stopword_count(words, F.col("lang"))
-                / TX.word_count(words), 6).alias("stop_frac"),
+                / F.nullif(TX.word_count(words), F.lit(0).cast("long")), 6)
+        .alias("stop_frac"),
     )
     return d.select(
         "doc_id", "word_cnt", "mean_wlen", "symbol_frac", "stop_frac",
@@ -91,11 +97,11 @@ WITH d AS (
   SELECT doc_id,
          len({_SQL_WORDS}) AS word_cnt,
          round(list_aggregate(list_transform({_SQL_WORDS}, x -> len(x)), 'sum')
-               / len({_SQL_WORDS})::double, 6) AS mean_wlen,
+               / nullif(len({_SQL_WORDS}), 0)::double, 6) AS mean_wlen,
          round(len(regexp_extract_all(text, '[#@%^*+=<>|~]'))
-               / len({_SQL_WORDS})::double, 6) AS symbol_frac,
+               / nullif(len({_SQL_WORDS}), 0)::double, 6) AS symbol_frac,
          round(({_sql_stop_cnt()})
-               / len({_SQL_WORDS})::double, 6) AS stop_frac
+               / nullif(len({_SQL_WORDS}), 0)::double, 6) AS stop_frac
   FROM documents
 )
 SELECT doc_id, word_cnt, mean_wlen, symbol_frac, stop_frac,
@@ -383,14 +389,16 @@ SELECT name, cand AS best_match, sim FROM (
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.array_distinct(
+    # array_remove('') : a no-word doc must have NO shingles (matching the
+    # oracle, where the empty slice stringifies to NULL) — fuzz-found
+    sh = docs.select("doc_id", F.array_remove(F.array_distinct(
         F.transform(
             F.sequence(
                 F.lit(0),
                 F.greatest(F.size(TX.words_col(F.col("text"))) - 3, F.lit(0))),
             lambda i: F.concat_ws(
                 " ", F.slice(TX.words_col(F.col("text")), i + 1, 3)),
-        )).alias("sh"))
+        )), "").alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -404,10 +412,10 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_JACCARD_PAIRS = f"""
 WITH sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(
+         list_filter(list_distinct(list_transform(
              range(1, greatest(len({_SQL_WORDS}) - 3, 0) + 2),
              i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 2), ' ')
-         )) AS s
+         )), x -> x IS NOT NULL AND x <> '') AS s
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -508,7 +516,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(words).alias("token_cnt"),
         F.size(F.array_distinct(words)).alias("distinct_cnt"),
-        F.round(F.size(F.array_distinct(words)) / F.size(words), 6)
+        # nullif: empty docs (real at crawl scale) must yield NULL ttr, not
+        # an ANSI divide-by-zero task failure — fuzz-found
+        F.round(F.size(F.array_distinct(words))
+                / F.nullif(F.size(words), F.lit(0)), 6)
         .alias("ttr"),
         F.length("text").alias("char_cnt"),
         F.coalesce(F.regexp_count("text", F.lit(_BPE_ISH_RE)), F.lit(0))
@@ -521,7 +532,7 @@ SELECT doc_id,
        len({_SQL_WORDS}) AS token_cnt,
        len(list_distinct({_SQL_WORDS})) AS distinct_cnt,
        round(len(list_distinct({_SQL_WORDS}))::double
-             / len({_SQL_WORDS}), 6) AS ttr,
+             / nullif(len({_SQL_WORDS}), 0), 6) AS ttr,
        len(text) AS char_cnt,
        len(regexp_extract_all(text, '{_BPE_ISH_RE}')) AS bpe_ish_cnt
 FROM documents
@@ -1638,9 +1649,9 @@ SELECT doc_id, {_sql_scrub_chain()} AS scrubbed_text FROM documents
 
 def _shingles3(text: F.Column) -> F.Column:
     words = TX.words_col(text)
-    return F.array_distinct(F.transform(
+    return F.array_remove(F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))))
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))), "")
 
 
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,10 +1675,10 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_NEARDUP_COMPONENTS = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
-         list_distinct(list_transform(
+         list_filter(list_distinct(list_transform(
              range(1, greatest(len({_SQL_WORDS}) - 3, 0) + 2),
              i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 2), ' ')
-         )) AS s
+         )), x -> x IS NOT NULL AND x <> '') AS s
   FROM documents
 ),
 e0 AS (
@@ -1736,9 +1747,9 @@ WHERE cum_tokens <= {_TOKEN_BUDGET}
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     words = TX.words_col(F.col("text"))
-    ng4 = F.array_distinct(F.transform(
+    ng4 = F.array_remove(F.array_distinct(F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - 4, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4))))
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 4)))), "")
     is_bench = F.col("doc_id") % 20 == 0
     bench = (docs.where(is_bench)
              .select(F.explode(ng4).alias("g")).distinct())
@@ -1757,10 +1768,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DECONTAMINATE = f"""
 WITH ng AS (
   SELECT doc_id,
-         unnest(list_distinct(list_transform(
+         unnest(list_filter(list_distinct(list_transform(
              range(1, greatest(len({_SQL_WORDS}) - 4, 0) + 2),
              i -> array_to_string(list_slice({_SQL_WORDS}, i, i + 3), ' ')
-         ))) AS g
+         )), x -> x IS NOT NULL AND x <> '')) AS g
   FROM documents
 ),
 bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 20 = 0),
@@ -1811,8 +1822,10 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     words = TX.words_col(F.col("text"))
     score = F.round(TX.stopword_count(words, F.col("lang"))
-                    / TX.word_count(words), 6)
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+                    / F.nullif(TX.word_count(words),
+                               F.lit(0).cast("long")), 6)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc_nulls_last("score"), F.asc("doc_id"))
     return (docs.select("doc_id", "lang", score.alias("score"))
             .withColumn("bucket", F.ntile(3).over(w))
             .withColumn("tier", F.element_at(
@@ -1825,10 +1838,12 @@ SELECT doc_id, lang, score, bucket,
             ELSE 'tail' END AS tier
 FROM (
   SELECT doc_id, lang,
-         round(({_sql_stop_cnt()}) / len({_SQL_WORDS})::double, 6) AS score,
+         round(({_sql_stop_cnt()})
+               / nullif(len({_SQL_WORDS}), 0)::double, 6) AS score,
          ntile(3) OVER (PARTITION BY lang
                         ORDER BY round(({_sql_stop_cnt()})
-                            / len({_SQL_WORDS})::double, 6) DESC,
+                            / nullif(len({_SQL_WORDS}), 0)::double, 6)
+                            DESC NULLS LAST,
                             doc_id ASC) AS bucket
   FROM documents)
 """

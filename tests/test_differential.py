@@ -1,0 +1,81 @@
+"""Differential testing: Spark queries vs their DuckDB oracles on RANDOM
+documents — the driver's gate runs only the fixed sf0.01 corpus, so the
+text-expression parity claims (tokenization, regex counts, hashing,
+windows) get fuzzed here with adversarial content: unicode, digit runs,
+mixed whitespace, empty and single-char texts.
+
+Deterministic seed; comparison reuses the verify tool's canonicalization
+(order-insensitive multiset, 6-sig-digit floats) so a failure here is
+exactly a failure the driver's hash gate could hit on other data.
+"""
+
+import random
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+from tools.verify_queries import canon  # noqa: E402
+
+WORDS = ["the", "данные", "café", "naïve", "東京", "spark", "sql", "a",
+         "12", "3.14", "x1", "über", "łódź", "data2024", "e", "—", "...",
+         "word", "WORD", "WoRd", "'quoted'", "(paren)", "semi;colon"]
+WS = [" ", "  ", "\t", "\n", " \n ", " "]
+
+
+def _random_docs(n=300, seed=99):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        kind = rng.randrange(6)
+        if kind == 0:
+            text = ""
+        elif kind == 1:
+            text = rng.choice(WORDS)
+        else:
+            k = rng.randint(1, 40)
+            text = rng.choice(WS).join(rng.choice(WORDS) for _ in range(k))
+            if rng.random() < 0.3:
+                text = rng.choice(WS) + text + rng.choice(WS)
+        rows.append((i, text, rng.choice(["en", "de", "fr", "es", "zh"]),
+                     f"src{i % 7}", len(text)))
+    return rows
+
+
+QUERIES_UNDER_TEST = [
+    "token_stats", "fingerprint", "heuristic_gate", "normalize_text",
+    "scrub_documents", "quality_buckets", "token_budget_sample",
+    "hash_split", "sequence_pack", "decontaminate", "incremental_dedup",
+    "html_extract", "prefix_dup_rate", "repetition_topngram",
+    "paragraph_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def diff_env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("diffdocs")
+    rows = _random_docs()
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, "
+              "n_chars: long")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet/*.parquet')")
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_differential_random_docs(spark, diff_env, name):
+    from dataquality_spark.queries import ORACLE_SQL, QUERIES
+    sf_dir, con = diff_env
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ORACLE_SQL[name])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), (scols, ocols)
+    assert len(srows) == len(orows)
+    assert canon(srows, scols) == canon(orows, ocols)
