@@ -650,8 +650,14 @@ def q_extract_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_EXTRACT_NUMBERS = """
 WITH x AS (
   SELECT len(regexp_extract_all(props, '(\\d+)', 1)) AS n_nums,
-         list_aggregate(list_transform(regexp_extract_all(props, '(\\d+)', 1),
-                                       v -> v::bigint), 'sum') AS num_sum
+         -- empty list: DuckDB list_aggregate sums to NULL, Spark aggregate
+         -- folds to the 0 seed — coalesce only when props itself is
+         -- non-NULL (fuzz-found on digit-free props)
+         CASE WHEN props IS NULL THEN NULL
+              ELSE coalesce(list_aggregate(
+                       list_transform(regexp_extract_all(props, '(\\d+)', 1),
+                                      v -> v::bigint), 'sum'), 0) END
+             AS num_sum
   FROM events
 )
 SELECT n_nums, count(*) AS n_rows, sum(num_sum)::bigint AS total

@@ -79,3 +79,60 @@ def test_differential_random_docs(spark, diff_env, name):
     assert sorted(scols) == sorted(ocols), (scols, ocols)
     assert len(srows) == len(orows)
     assert canon(srows, scols) == canon(orows, ocols)
+
+
+# --- events-table fuzz: windows, ties, nulls ------------------------------
+
+EVENT_QUERIES = [
+    "iqr_outliers", "iqr_group_score", "sessionize", "asof_join",
+    "first_last_event", "hypertable_rollup", "topk_per_type",
+    "numeric_coercion", "extract_numbers",
+]
+
+
+def _random_events(n=2000, seed=41):
+    import datetime
+    rng = random.Random(seed)
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for i in range(n):
+        # deliberate tie pressure: coarse timestamp grid, few users
+        ts = base + datetime.timedelta(
+            seconds=rng.randrange(0, 3600 * 50, 60))
+        val = None if rng.random() < 0.1 else round(
+            rng.choice([rng.uniform(0, 20), rng.uniform(0, 2000)]), 2)
+        props = rng.choice([None, "", "42", "abc", '{"k": 7}', "  19  ",
+                            "1e3", "-5", "007"])
+        rows.append((i, ts, rng.randrange(12),
+                     rng.choice(["click", "view", "error", "buy", "scroll"]),
+                     val, props))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def diff_events(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("diffevents")
+    rows = _random_events()
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, "
+              "event_type: string, value: double, props: string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet/*.parquet')")
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_differential_random_events(spark, diff_events, name):
+    from dataquality_spark.queries import ORACLE_SQL, QUERIES
+    sf_dir, con = diff_events
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ORACLE_SQL[name])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), (scols, ocols)
+    assert len(srows) == len(orows)
+    assert canon(srows, scols) == canon(orows, ocols)
