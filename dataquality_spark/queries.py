@@ -1856,6 +1856,30 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q55 — Unicode NFC normalization (web-text canonicalization: combining
+# sequences vs precomposed forms differ across crawls and break exact
+# dedup keys). Spark has no NFC built-in → Arrow UDF over CPython's
+# unicodedata; the oracle is DuckDB's native nfc_normalize — both implement
+# the same Unicode spec, so output is byte-exact.
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize("NFC", t))
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", nfc("text").alias("nfc_text"))
+
+
+_SQL_UNICODE_NFC = """
+SELECT doc_id, nfc_normalize(text) AS nfc_text FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q54 — Z-order (Morton) layout keys: the multi-dimension clustering key
 # for scan pruning at scale (`functions/zorder.py`). Both engines compute
 # the identical magic-number bit-spread arithmetic — the oracle checks the
@@ -2083,6 +2107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "html_extract": q_html_extract,
     "sequence_pack": q_sequence_pack,
     "zorder_key": q_zorder_key,
+    "unicode_nfc": q_unicode_nfc,
     "audio_features": q_audio_features,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
@@ -2144,4 +2169,5 @@ ORACLE_SQL: dict[str, str] = {
     "html_extract": _SQL_HTML_EXTRACT,
     "sequence_pack": _SQL_SEQUENCE_PACK,
     "zorder_key": _sql_zorder(),
+    "unicode_nfc": _SQL_UNICODE_NFC,
 }

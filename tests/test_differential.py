@@ -18,7 +18,8 @@ import pytest
 sys.path.insert(0, "/root/repo")
 from tools.verify_queries import canon  # noqa: E402
 
-WORDS = ["the", "данные", "café", "naïve", "東京", "spark", "sql", "a",
+WORDS = ["the", "данные", "café", "cafe\u0301", "nai\u0308ve",
+         "A\u030a", "naïve", "東京", "spark", "sql", "a",
          "12", "3.14", "x1", "über", "łódź", "data2024", "e", "—", "...",
          "word", "WORD", "WoRd", "'quoted'", "(paren)", "semi;colon"]
 WS = [" ", "  ", "\t", "\n", " \n ", " "]
@@ -48,7 +49,7 @@ QUERIES_UNDER_TEST = [
     "scrub_documents", "quality_buckets", "token_budget_sample",
     "hash_split", "sequence_pack", "decontaminate", "incremental_dedup",
     "html_extract", "prefix_dup_rate", "repetition_topngram",
-    "paragraph_dedup",
+    "paragraph_dedup", "unicode_nfc",
 ]
 
 
