@@ -107,3 +107,50 @@ def escape_html(text: Column) -> Column:
     return F.replace(F.replace(F.replace(text, F.lit("&"), F.lit("&amp;")),
                                F.lit("<"), F.lit("&lt;")),
                      F.lit(">"), F.lit("&gt;"))
+
+
+class _LinkCollector(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[str] = []
+
+    def _grab(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.links.append(v)
+
+    handle_starttag = _grab
+
+    def handle_startendtag(self, tag, attrs):
+        self._grab(tag, attrs)
+
+
+def extract_links_py(html: bytes | str | None) -> list[str]:
+    """All <a href> values, in document order, entities decoded — the
+    outlink-harvest step of a crawl frontier. Scalar spec for the UDF."""
+    if html is None:
+        return []
+    raw = html.decode("utf-8", errors="replace") if isinstance(
+        html, (bytes, bytearray, memoryview)) else html
+    p = _LinkCollector()
+    p.feed(raw)
+    p.close()
+    return p.links
+
+
+def extract_links_udf():
+    @F.pandas_udf("array<string>")
+    def extract(html_s: pd.Series) -> pd.Series:
+        return pd.Series([extract_links_py(h) for h in html_s], dtype=object)
+
+    return extract
+
+
+def outlinks(df: DataFrame, html_col: str = "html",
+             url_col: str = "url") -> DataFrame:
+    """(page url, outlink) pairs — compose with ``canonical_url`` +
+    ``distinct`` for frontier dedup."""
+    return (df.select(url_col,
+                      F.explode(extract_links_udf()(F.col(html_col)))
+                      .alias("outlink")))

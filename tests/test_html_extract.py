@@ -77,3 +77,19 @@ def test_escape_roundtrip(spark):
                       F.lit("</body></html>")).cast("binary").alias("html"))
     out = with_extracted_text(wrapped, out_col="back").toPandas()
     assert out["back"].tolist() == out["t"].tolist()
+
+
+def test_extract_links(spark):
+    from dataquality_spark.functions.html_extract import (
+        extract_links_py, outlinks)
+    html = (b"<html><body><a href='/a'>x</a><A HREF=\"http://b.ex/p?x=1&amp;y=2\">"
+            b"</A><a name='no-href'>z</a><a href=''></a><a href='/c'/></body></html>")
+    # entity decoded, empty href skipped, attribute-less <a> skipped,
+    # self-closing form included, tag/attr case-insensitive
+    assert extract_links_py(html) == ["/a", "http://b.ex/p?x=1&y=2", "/c"]
+    assert extract_links_py(None) == []
+
+    df = spark.createDataFrame([("u1", html), ("u2", b"<p>none</p>")],
+                               "url string, html binary")
+    got = [(r["url"], r["outlink"]) for r in outlinks(df).collect()]
+    assert got == [("u1", "/a"), ("u1", "http://b.ex/p?x=1&y=2"), ("u1", "/c")]
