@@ -193,7 +193,10 @@ def q_dedup_winners(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DEDUP_WINNERS = f"""
 WITH t AS (
-  SELECT array_to_string(list_slice({_SQL_WORDS}, 1, 2), ' ') AS k, doc_id
+  -- coalesce: the empty slice stringifies to NULL in DuckDB but '' in
+  -- Spark's concat_ws; no-word docs must share one group key (fuzz-found)
+  SELECT coalesce(array_to_string(list_slice({_SQL_WORDS}, 1, 2), ' '),
+                  '') AS k, doc_id
   FROM documents
 )
 SELECT k, min(doc_id) AS winner_doc_id, count(*) AS group_size

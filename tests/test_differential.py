@@ -49,7 +49,7 @@ QUERIES_UNDER_TEST = [
     "scrub_documents", "quality_buckets", "token_budget_sample",
     "hash_split", "sequence_pack", "decontaminate", "incremental_dedup",
     "html_extract", "prefix_dup_rate", "repetition_topngram",
-    "paragraph_dedup", "unicode_nfc",
+    "paragraph_dedup", "unicode_nfc", "dedup_winners",
 ]
 
 
@@ -128,6 +128,78 @@ def diff_events(spark, tmp_path_factory):
 def test_differential_random_events(spark, diff_events, name):
     from dataquality_spark.queries import ORACLE_SQL, QUERIES
     sf_dir, con = diff_events
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ORACLE_SQL[name])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), (scols, ocols)
+    assert len(srows) == len(orows)
+    assert canon(srows, scols) == canon(orows, ocols)
+
+
+# --- orders/lineitem fuzz: joins, null propagation, float aggregation ------
+
+ORDER_QUERIES = ["chronology", "rowsum_check", "corr", "corr_pairs_filter"]
+
+
+def _random_orders(n_orders=400, seed=23):
+    import datetime
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    orders, items = [], []
+    for ok in range(n_orders):
+        odate = (None if rng.random() < 0.05 else
+                 base + datetime.timedelta(days=rng.randrange(365)))
+        lines, total = [], 0.0
+        for ln in range(rng.randrange(0, 5)):   # 0 lines → left-join nulls
+            qty = float(rng.randrange(1, 50))
+            price = round(rng.uniform(10, 5000), 2)
+            disc = round(rng.choice([0.0, 0.05, 0.1]), 2)
+            tax = round(rng.choice([0.0, 0.04, 0.08]), 2)
+            sdate = (None if rng.random() < 0.05 else
+                     (odate or base) + datetime.timedelta(
+                         days=rng.randrange(-3, 60)))  # some violations
+            lines.append((ok, rng.randrange(500), rng.randrange(50), ln + 1,
+                          qty, price, disc, tax, rng.choice("ARN"),
+                          rng.choice("OF"), sdate))
+            total += price * (1 - disc) * (1 + tax)
+        if rng.random() < 0.7:
+            total = round(total, 2)             # rounding → mismatches
+        orders.append((ok, rng.randrange(100), rng.choice("OFP"),
+                       total, odate, "1-URGENT"))
+        items.extend(lines)
+    return orders, items
+
+
+@pytest.fixture(scope="module")
+def diff_orders(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("difforders")
+    orders, items = _random_orders()
+    spark.createDataFrame(
+        orders, "o_orderkey: long, o_custkey: long, o_orderstatus: string, "
+                "o_totalprice: double, o_orderdate: timestamp, "
+                "o_orderpriority: string") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        items, "l_orderkey: long, l_partkey: long, l_suppkey: long, "
+               "l_linenumber: int, l_quantity: double, "
+               "l_extendedprice: double, l_discount: double, l_tax: double, "
+               "l_returnflag: string, l_linestatus: string, "
+               "l_shipdate: timestamp") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet/*.parquet')")
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", ORDER_QUERIES)
+def test_differential_random_orders(spark, diff_orders, name):
+    from dataquality_spark.queries import ORACLE_SQL, QUERIES
+    sf_dir, con = diff_orders
     sdf = QUERIES[name](spark, sf_dir)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
