@@ -209,3 +209,53 @@ def test_differential_random_orders(spark, diff_orders, name):
     assert sorted(scols) == sorted(ocols), (scols, ocols)
     assert len(srows) == len(orows)
     assert canon(srows, scols) == canon(orows, ocols)
+
+
+# --- embeddings fuzz: cross-engine float-sum rounding ----------------------
+
+EMB_QUERIES = ["embedding_knn", "cosine_allpairs", "ivf_knn"]
+
+
+def _random_embeddings(n=200, dim=64, seed=77):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        # cluster structure + near-ties: half the vectors are perturbed
+        # copies of 8 centroids, so cosine values crowd together
+        if i % 2 == 0:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        else:
+            c = (i // 2) % 8
+            base = random.Random(1000 + c)
+            v = [base.uniform(-1, 1) + rng.gauss(0, 0.05)
+                 for _ in range(dim)]
+        rows.append((i, [float(round(x, 4)) for x in v], i % 3))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def diff_embeddings(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("diffemb")
+    rows = _random_embeddings()
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet/*.parquet')")
+    return str(d), con
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_differential_random_embeddings(spark, diff_embeddings, name):
+    from dataquality_spark.queries import ORACLE_SQL, QUERIES
+    sf_dir, con = diff_embeddings
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ORACLE_SQL[name])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), (scols, ocols)
+    assert len(srows) == len(orows)
+    assert canon(srows, scols) == canon(orows, ocols)
