@@ -53,10 +53,10 @@ QUERIES_UNDER_TEST = [
 ]
 
 
-@pytest.fixture(scope="module")
-def diff_env(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("diffdocs")
-    rows = _random_docs()
+@pytest.fixture(scope="module", params=[99, 1234])
+def diff_env(request, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"diffdocs{request.param}")
+    rows = _random_docs(seed=request.param)
     df = spark.createDataFrame(
         rows, "doc_id: long, text: string, lang: string, source: string, "
               "n_chars: long")
@@ -110,10 +110,10 @@ def _random_events(n=2000, seed=41):
     return rows
 
 
-@pytest.fixture(scope="module")
-def diff_events(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("diffevents")
-    rows = _random_events()
+@pytest.fixture(scope="module", params=[41, 4242])
+def diff_events(request, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp(f"diffevents{request.param}")
+    rows = _random_events(seed=request.param)
     df = spark.createDataFrame(
         rows, "event_id: long, ts: timestamp, user_id: long, "
               "event_type: string, value: double, props: string")
