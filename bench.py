@@ -82,7 +82,7 @@ HEADLINE_QUERIES = [
     "canonical_url", "fuzzy_dedup_decisions", "decontaminate",
     "token_budget_sample", "incremental_dedup", "quality_buckets",
     "quality_classifier", "simhash_neardup", "image_features",
-    "audio_features", "html_extract", "sequence_pack",
+    "audio_features", "html_extract", "sequence_pack", "stratified_split",
 ]
 
 

@@ -1859,6 +1859,44 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Q56 — stratified train/val/test split: exact 80/10/10 WITHIN each
+# language (hash_split gives independent per-doc coin flips — correct in
+# expectation, but small strata drift; eval sets need exact per-stratum
+# proportions). Deterministic: rank docs per lang by the portable hash,
+# cut at integer boundaries (cnt*8//10 — pure integer math, no float
+# thresholds to disagree on). One window shuffle on the stratum key.
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    wcnt = Window.partitionBy("lang")
+    base = (docs.select("doc_id", "lang", h.alias("h"))
+            .withColumn("rnk", F.row_number().over(w))
+            .withColumn("cnt", F.count(F.lit(1)).over(wcnt)))
+    split = (F.when(F.col("rnk") <= F.col("cnt") * 8 / 10, "train")
+             .when(F.col("rnk") <= F.col("cnt") * 9 / 10, "val")
+             .otherwise("test"))
+    return base.select("doc_id", "lang", split.alias("split"))
+
+
+_SQL_STRATIFIED_SPLIT = """
+SELECT doc_id, lang,
+       CASE WHEN rnk <= cnt * 8 / 10 THEN 'train'
+            WHEN rnk <= cnt * 9 / 10 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM (SELECT doc_id, lang,
+               ((doc_id * 2654435761) % 2147483647 + 2147483647)
+               % 2147483647 AS h
+        FROM documents))
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q55 — Unicode NFC normalization (web-text canonicalization: combining
 # sequences vs precomposed forms differ across crawls and break exact
 # dedup keys). Spark has no NFC built-in → Arrow UDF over CPython's
@@ -2111,6 +2149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_pack": q_sequence_pack,
     "zorder_key": q_zorder_key,
     "unicode_nfc": q_unicode_nfc,
+    "stratified_split": q_stratified_split,
     "audio_features": q_audio_features,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
@@ -2173,4 +2212,5 @@ ORACLE_SQL: dict[str, str] = {
     "sequence_pack": _SQL_SEQUENCE_PACK,
     "zorder_key": _sql_zorder(),
     "unicode_nfc": _SQL_UNICODE_NFC,
+    "stratified_split": _SQL_STRATIFIED_SPLIT,
 }

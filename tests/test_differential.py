@@ -50,6 +50,7 @@ QUERIES_UNDER_TEST = [
     "hash_split", "sequence_pack", "decontaminate", "incremental_dedup",
     "html_extract", "prefix_dup_rate", "repetition_topngram",
     "paragraph_dedup", "unicode_nfc", "dedup_winners",
+    "stratified_split",
 ]
 
 
