@@ -79,7 +79,25 @@ def shingles_py(text: str | None, n: int = 3) -> list[str]:
     return list(seen)
 
 
-def shingle_bands_udf(shingle_n: int = 3):
+def choose_banding(threshold: float) -> tuple[int, int]:
+    """(bands, rows) factorization of the 64 permutations for a target
+    similarity threshold: the steepest banding whose S-curve midpoint
+    (1/b)^(1/r) sits at least 0.25 BELOW the threshold — the margin puts
+    recall at the threshold above ~99% for every row in the table (e.g.
+    16×4 at 0.91 → 0.998; 32×2 at 0.5 → 0.9999) while keeping the most
+    selective curve that clears it (precision: fewer sub-threshold
+    candidates than a flatter banding). Reproduces the measured 16×4 for
+    the reference's 0.91 threshold; a 0.5-threshold caller gets 32×2
+    instead of 16×4, whose midpoint IS 0.5 (≈50% recall right at the
+    threshold)."""
+    for b, r in [(4, 16), (8, 8), (16, 4), (32, 2)]:
+        if (1.0 / b) ** (1.0 / r) <= threshold - 0.25:
+            return (b, r)
+    return (64, 1)
+
+
+def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
+                      rows: int = LSH_ROWS):
     """pandas UDF: text → struct(sh array<string>, bands array<bigint>).
 
     Shingling AND minhash both live here. Why not JVM expressions: Spark
@@ -99,7 +117,7 @@ def shingle_bands_udf(shingle_n: int = 3):
     P = np.int64(_MERSENNE)
 
     @F.pandas_udf("struct<sh: array<string>, bands: array<long>>")
-    def bands(text_s: pd.Series) -> pd.DataFrame:
+    def sig_bands(text_s: pd.Series) -> pd.DataFrame:
         shs, keys_out = [], []
         for t in text_s:
             sh = shingles_py(t, shingle_n)
@@ -110,16 +128,16 @@ def shingle_bands_udf(shingle_n: int = 3):
             h = np.array([crc32(s.encode("utf-8")) for s in sh],
                          dtype=np.int64)[None, :] % P
             sig = ((A * h + B) % P).min(axis=1)  # [MINHASH_PERMS]
-            bsig = sig.reshape(LSH_BANDS, LSH_ROWS)
-            keys = np.arange(1, LSH_BANDS + 1, dtype=np.int64)
-            for r in range(LSH_ROWS):
+            bsig = sig.reshape(bands, rows)
+            keys = np.arange(1, bands + 1, dtype=np.int64)
+            for r in range(rows):
                 keys = (keys * K + bsig[:, r]) % P
             shs.append(sh)
             keys_out.append(keys.tolist())
         return pd.DataFrame({"sh": pd.Series(shs, dtype=object),
                              "bands": pd.Series(keys_out, dtype=object)})
 
-    return bands.asNondeterministic()
+    return sig_bands.asNondeterministic()
 
 
 def exact_dedup_winners(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "url"),
@@ -174,9 +192,16 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
                    max_bucket_size: int | None = 200,
                    skew_metrics: dict | None = None,
                    cleanup: list[DataFrame] | None = None,
-                   measure: str = "jaccard") -> DataFrame:
+                   measure: str = "jaccard",
+                   banding: tuple[int, int] | str = "auto") -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-banded LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
+
+    ``banding``: "auto" picks the (bands, rows) factorization of the 64
+    permutations from ``jaccard_threshold`` via ``choose_banding`` (S-curve
+    midpoint at or below the threshold — a 0.5-threshold caller gets 32×2
+    instead of the 16×4 whose midpoint IS 0.5 and would lose ~half the
+    borderline pairs); pass an explicit (bands, rows) to pin it.
 
     Plan shape: explode band keys → self-join on (band, key) → distinct pairs
     → exact verify. The join is equi-join on bucket keys (shuffle hash / AQE);
@@ -197,7 +222,9 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
     """
     from pyspark import StorageLevel
 
-    udf = shingle_bands_udf(shingle_n)
+    if banding == "auto":
+        banding = choose_banding(jaccard_threshold)
+    udf = shingle_bands_udf(shingle_n, bands=banding[0], rows=banding[1])
     base = df.select(
         F.col(id_col).alias("_id"), udf(F.col(text_col)).alias("_sb")
     ).select(

@@ -275,3 +275,26 @@ def test_simhash_near_dup_pairs_exact_recall(spark):
 
     with pytest.raises(ValueError):
         simhash_near_dup_pairs(df, max_hamming=4)
+
+
+def test_choose_banding_and_low_threshold_recall(spark):
+    """Auto-banding: the S-curve midpoint must sit at or below the
+    threshold, and a moderately-similar pair (~0.6 jaccard) that 16x4
+    banding frequently misses is found reliably under the auto 32x2."""
+    from dataquality_spark.operators.dedup import choose_banding
+
+    assert choose_banding(0.91) == (16, 4)   # the measured default
+    assert choose_banding(0.76) == (16, 4)
+    assert choose_banding(0.5) == (32, 2)
+    assert choose_banding(0.15) == (64, 1)
+
+    # ~0.62 shingle-jaccard pair (every 12th word perturbed; word 3-gram
+    # shingles amplify each edit ~3x)
+    long = " ".join(f"tok{i:03d} w{i * 11 % 103}" for i in range(60))
+    words = long.split()
+    variant = " ".join(w + "q" if i % 12 == 0 else w
+                       for i, w in enumerate(words))
+    df = _pages(spark, [("u_a", "2024-01-01", long),
+                        ("u_b", "2024-01-02", variant)])
+    auto = near_dup_pairs(df, jaccard_threshold=0.5).toPandas()
+    assert len(auto) == 1 and 0.4 < auto.iloc[0]["jaccard"] < 0.8
