@@ -2092,6 +2092,27 @@ def q_fuzzy_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component", "is_winner")
 
 
+# ---------------------------------------------------------------------------
+# Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
+# one word-count shuffle → driver merges on the compact weighted vocabulary
+# (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
+# Arrow-UDF token counts + fertility. Rows-only: the merge loop is
+# iterative/non-SQL; parity is pinned by tests/test_bpe.py (incremental
+# trainer ≡ naive recount reference, UDF ≡ driver kernel, reconstruction
+# and monotonicity properties).
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.models import bpe
+    docs = _t(spark, sf_dir, "documents")
+    art = bpe.train_bpe(docs, text_col="text", n_merges=200)
+    udf = bpe.make_bpe_udf(spark, art)
+    s = udf("text").alias("s")
+    return (docs.select("doc_id", s)
+            .select("doc_id", F.col("s.n_bpe_tokens").alias("n_bpe_tokens"),
+                    F.col("s.n_words").alias("n_words"),
+                    F.col("s.fertility").alias("fertility")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heuristic_gate": q_heuristic_gate,
     "null_metrics": q_null_metrics,
@@ -2157,6 +2178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_buckets": q_simhash_buckets,
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
+    "bpe_tokenize": q_bpe_tokenize,
 }
 
 ORACLE_SQL: dict[str, str] = {
