@@ -83,7 +83,7 @@ HEADLINE_QUERIES = [
     "token_budget_sample", "incremental_dedup", "quality_buckets",
     "quality_classifier", "simhash_neardup", "image_features",
     "audio_features", "html_extract", "sequence_pack", "stratified_split",
-    "bpe_tokenize",
+    "bpe_tokenize", "domain_stats", "corpus_ngrams",
 ]
 
 

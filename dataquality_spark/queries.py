@@ -2093,6 +2093,78 @@ def q_fuzzy_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q65 — per-source curation stats: the crawl-curation dashboard aggregate
+# (docs per host, language spread, mean length, within-source exact-dup
+# rate). One groupBy("source") shuffle; the two count-distincts ride the
+# same aggregation via Expand (partial agg still applies per distinct
+# branch — no second pass over the data).
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.lit(1.0) - F.count_distinct("text")
+                / F.count(F.lit(1)), 6).alias("dup_rate"),
+    ).orderBy("source"))
+
+
+_SQL_DOMAIN_STATS = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(1.0 - count(DISTINCT text)::double / count(*), 6) AS dup_rate
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q66 — corpus-level boilerplate n-grams (heavy hitters): the global top-K
+# word 3-grams by occurrence count — the standard boilerplate-detection
+# table (navigation chrome, cookie banners) that complements the PER-DOC
+# Gopher repetition signal (Q-repetition_topngram). Spark builds grams
+# row-locally (transform over an index sequence — no per-gram Python, no
+# join), then ONE explode → groupBy count → deterministic top-K. At 100 TB
+# the groupBy has map-side partial agg, and the top-K is
+# TakeOrderedAndProject (per-partition heap, no full sort/shuffle of the
+# gram table).
+
+def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    # guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 counts DOWN
+    # ([1, 0]), it is not empty — so short docs must never reach it
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("ws", i),
+                              F.element_at("ws", i + 1),
+                              F.element_at("ws", i + 2)))
+    return (docs.where(F.col("text").isNotNull())
+            .select(ws.alias("ws")).where(F.size("ws") >= 3)
+            .select(F.explode(grams).alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram")).limit(20))
+
+
+_SQL_CORPUS_NGRAMS = """
+WITH w AS (
+  SELECT string_split(trim(lower(text)), ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT array_to_string(ws[i:i+2], ' ') AS gram, count(*) AS cnt
+FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+WHERE len(ws) >= 3
+GROUP BY gram
+ORDER BY cnt DESC, gram ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2179,6 +2251,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "bpe_tokenize": q_bpe_tokenize,
+    "domain_stats": q_domain_stats,
+    "corpus_ngrams": q_corpus_ngrams,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2235,4 +2309,6 @@ ORACLE_SQL: dict[str, str] = {
     "zorder_key": _sql_zorder(),
     "unicode_nfc": _SQL_UNICODE_NFC,
     "stratified_split": _SQL_STRATIFIED_SPLIT,
+    "domain_stats": _SQL_DOMAIN_STATS,
+    "corpus_ngrams": _SQL_CORPUS_NGRAMS,
 }
