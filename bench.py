@@ -84,6 +84,7 @@ HEADLINE_QUERIES = [
     "quality_classifier", "simhash_neardup", "image_features",
     "audio_features", "html_extract", "sequence_pack", "stratified_split",
     "bpe_tokenize", "domain_stats", "corpus_ngrams",
+    "length_percentiles", "snapshot_diff",
 ]
 
 

@@ -2165,6 +2165,88 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Q67 — distribution profiling: EXACT per-language length percentiles
+# (Spark's exact `percentile` and DuckDB's `quantile_cont` share the same
+# linear-interpolation formula — parity holds to the last float ulp, no
+# rounding needed on the quantiles themselves; we round anyway for the
+# 6dp house rule). One groupBy shuffle. At 100 TB the exact form is the
+# oracle; the scale path swaps in approx_percentile on the same plan shape
+# (t-digest-style mergeable sketch, same single shuffle).
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pct = lambda p: F.round(  # noqa: E731
+        F.percentile("n_chars", F.lit(p)), 6)
+    return (docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pct(0.25).alias("p25"), pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"), pct(0.99).alias("p99"),
+    ).orderBy("lang"))
+
+
+_SQL_LENGTH_PERCENTILES = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q68 — corpus snapshot diff: classify added / removed / changed /
+# unchanged between two corpus versions by full outer join on the doc key,
+# comparing content FINGERPRINTS (md5 — identical across engines) rather
+# than full text, which is what survives 100 TB: the join carries
+# (key, 16-byte digest), co-partitions on the key, and never ships
+# document bodies. Snapshot B is derived deterministically in both engines
+# (drop doc_id%11==0, rewrite text for doc_id%7==0, add shifted ids for
+# doc_id%13==0) so the query needs no second input table.
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (docs.where(F.col("doc_id") % 11 != 0)
+         .select("doc_id",
+                 F.when(F.col("doc_id") % 7 == 0,
+                        F.concat("text", F.lit(" v2")))
+                 .otherwise(F.col("text")).alias("text"))
+         .unionAll(docs.where(F.col("doc_id") % 13 == 0)
+                   .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                           "text")))
+    a_f = docs.select("doc_id", F.md5("text").alias("fp_a"))
+    b_f = b.select("doc_id", F.md5("text").alias("fp_b"))
+    joined = a_f.join(b_f, "doc_id", "full_outer")
+    status = (F.when(F.col("fp_a").isNull(), "added")
+              .when(F.col("fp_b").isNull(), "removed")
+              .when(F.col("fp_a") == F.col("fp_b"), "unchanged")
+              .otherwise("changed"))
+    return (joined.select(status.alias("status"))
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("status"))
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp_b
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_b
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT CASE WHEN fp_a IS NULL THEN 'added'
+            WHEN fp_b IS NULL THEN 'removed'
+            WHEN fp_a = fp_b THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       count(*) AS n
+FROM a FULL OUTER JOIN b USING (doc_id)
+GROUP BY status ORDER BY status
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2253,6 +2335,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tokenize": q_bpe_tokenize,
     "domain_stats": q_domain_stats,
     "corpus_ngrams": q_corpus_ngrams,
+    "length_percentiles": q_length_percentiles,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2311,4 +2395,6 @@ ORACLE_SQL: dict[str, str] = {
     "stratified_split": _SQL_STRATIFIED_SPLIT,
     "domain_stats": _SQL_DOMAIN_STATS,
     "corpus_ngrams": _SQL_CORPUS_NGRAMS,
+    "length_percentiles": _SQL_LENGTH_PERCENTILES,
+    "snapshot_diff": _SQL_SNAPSHOT_DIFF,
 }
