@@ -84,7 +84,7 @@ HEADLINE_QUERIES = [
     "quality_classifier", "simhash_neardup", "image_features",
     "audio_features", "html_extract", "sequence_pack", "stratified_split",
     "bpe_tokenize", "domain_stats", "corpus_ngrams",
-    "length_percentiles", "snapshot_diff",
+    "length_percentiles", "snapshot_diff", "substring_dedup",
 ]
 
 
@@ -124,8 +124,15 @@ def main():
         for name in HEADLINE_QUERIES:
             fn = Q.QUERIES[name]
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            out = fn(spark, sf_dir)
+            # noop sink: forces FULL materialization of every output column.
+            # A bare .count() lets Catalyst prune projection-only work —
+            # including Arrow UDF columns — so it times the scan, not the
+            # query (measured: bpe_tokenize's UDF node vanishes from the
+            # count() plan entirely).
+            out.write.format("noop").mode("overwrite").save()
             qsecs[name] = round(time.time() - t0, 3)
+            n = out.count()  # untimed, for the log line only
             log(f"query {name}: {qsecs[name]}s ({n} rows)")
 
     total = round(sum(qsecs.values()), 3)

@@ -499,3 +499,59 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "url",
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def remove_duplicated_spans(df: DataFrame, id_col: str = "url",
+                            text_col: str = "text",
+                            min_len: int = 5) -> DataFrame:
+    """Exact duplicated-SUBSTRING removal (Lee et al. 2022's ExactSubstr,
+    at word granularity): every word lying inside any ``min_len``-word
+    window that occurs more than once in the corpus — across OR within
+    documents — is cut, and each document is rebuilt from its surviving
+    words in order. The reference Rust tool builds a corpus suffix array;
+    the distributed re-expression is the standard window-hash formulation:
+    duplicated fixed-length windows are exactly the length-``min_len``
+    grams with global count > 1, and their union of covered positions is
+    the removal set (for spans longer than ``min_len`` the windows tile
+    the span, so the union reconstructs it).
+
+    Scale shape: grams are built row-locally (transform over an index
+    sequence, no per-gram Python) and cross the wire as xxhash64 keys
+    only; the duplicate set comes from one partial-agg groupBy; coverage
+    is a bounded ×``min_len`` explode of ONLY the duplicated grams (a
+    small fraction of the corpus by construction); words re-attach via
+    one (id, pos) anti-join and one groupBy(id) rebuild — never a suffix
+    array, never full documents in a shuffle. 2^-64 hash-collision risk
+    accepted (same stance as exact_dedup_winners).
+
+    Returns (id_col, text_col) with '' when everything was duplicated.
+    """
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"))
+    words = (base.select("_id", F.posexplode("_ws").alias("_pos", "_w"))
+             .where(F.col("_w") != ""))
+    grams = (base.where(F.size("_ws") >= min_len)
+             .select("_id", F.posexplode(F.transform(
+                 F.sequence(F.lit(1), F.size("_ws") - (min_len - 1)),
+                 lambda i: F.xxhash64(
+                     F.concat_ws(" ", F.slice("_ws", i, min_len)))))
+                 .alias("_gp", "_h")))
+    dup = (grams.groupBy("_h").agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") > 1).select("_h"))
+    covered = (grams.join(dup, "_h")
+               .select("_id", F.explode(F.sequence(
+                   "_gp", F.col("_gp") + (min_len - 1))).alias("_pos"))
+               .distinct())
+    # grams' _gp is 0-based from posexplode over the transform output;
+    # words' _pos is 0-based over _ws — the sequence() above starts the
+    # slice at 1 (1-based) while _gp stays 0-based, so covered positions
+    # [_gp, _gp+min_len-1] line up with word positions directly
+    kept = words.join(covered, ["_id", "_pos"], "left_anti")
+    recon = (kept.groupBy("_id")
+             .agg(F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                 lambda x: x["_w"])).alias("_t")))
+    return (df.select(F.col(id_col).alias("_id")).distinct()
+            .join(recon, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("_t", F.lit("")).alias(text_col)))

@@ -2095,9 +2095,10 @@ def q_fuzzy_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q65 — per-source curation stats: the crawl-curation dashboard aggregate
 # (docs per host, language spread, mean length, within-source exact-dup
-# rate). One groupBy("source") shuffle; the two count-distincts ride the
-# same aggregation via Expand (partial agg still applies per distinct
-# branch — no second pass over the data).
+# rate). The two count-distincts ride ONE scan via Expand (the textbook
+# distinct-aggregate plan: Expand → partial agg → exchange on
+# (source, branch) → merge → exchange on source) — two narrow exchanges
+# of pre-aggregated rows, never a second pass over the data.
 
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2247,6 +2248,50 @@ GROUP BY status ORDER BY status
 
 
 # ---------------------------------------------------------------------------
+# Q69 — exact duplicated-substring removal (Lee et al. 2022 ExactSubstr,
+# word granularity — see operators/dedup.py::remove_duplicated_spans for
+# the window-hash re-expression of the suffix-array tool). BYTE-EXACT
+# oracle: the rebuilt text must match the relational DuckDB formulation
+# string-for-string, including fully-erased docs ('').
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.dedup import remove_duplicated_spans
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(docs, id_col="doc_id", text_col="text",
+                                  min_len=5)
+    return out.withColumnRenamed("text", "dedup_text")
+
+
+_SQL_SUBSTRING_DEDUP = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), w AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS word
+  FROM base, unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE ws[i] <> ''
+), g AS (
+  SELECT doc_id, i - 1 AS gp, array_to_string(ws[i:i+4], ' ') AS gram
+  FROM base, unnest(range(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 5
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+), cov AS (
+  SELECT DISTINCT doc_id, gp + k AS pos
+  FROM g JOIN dup USING (gram), unnest(range(0, 5)) AS u(k)
+), kept AS (
+  SELECT w.doc_id, w.pos, w.word
+  FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos
+  WHERE cov.pos IS NULL
+)
+SELECT d.doc_id,
+       coalesce(string_agg(kept.word, ' ' ORDER BY kept.pos), '') AS dedup_text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN kept USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2337,6 +2382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_ngrams": q_corpus_ngrams,
     "length_percentiles": q_length_percentiles,
     "snapshot_diff": q_snapshot_diff,
+    "substring_dedup": q_substring_dedup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2397,4 +2443,5 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_ngrams": _SQL_CORPUS_NGRAMS,
     "length_percentiles": _SQL_LENGTH_PERCENTILES,
     "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+    "substring_dedup": _SQL_SUBSTRING_DEDUP,
 }

@@ -298,3 +298,47 @@ def test_choose_banding_and_low_threshold_recall(spark):
                         ("u_b", "2024-01-02", variant)])
     auto = near_dup_pairs(df, jaccard_threshold=0.5).toPandas()
     assert len(auto) == 1 and 0.4 < auto.iloc[0]["jaccard"] < 0.8
+
+
+# -- remove_duplicated_spans (ExactSubstr, word granularity) ----------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_dedup_cross_doc_span(spark):
+    from dataquality_spark.operators.dedup import remove_duplicated_spans
+    shared = "one two three four five six"              # 6 words: 2 windows
+    rows = [(1, f"alpha {shared} beta"),
+            (2, f"gamma {shared} delta epsilon")]
+    out = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_spans(_docs(spark, rows), id_col="doc_id",
+                                   min_len=5).collect()}
+    # the shared 6-word span is tiled by its two duplicated 5-windows and
+    # fully removed from BOTH docs; unique flanks survive in order
+    assert out[1] == "alpha beta"
+    assert out[2] == "gamma delta epsilon"
+
+
+def test_substring_dedup_within_doc_and_short_docs(spark):
+    from dataquality_spark.operators.dedup import remove_duplicated_spans
+    rep = "a b c d e"
+    rows = [(1, f"{rep} x y z {rep}"),       # same 5-window twice in ONE doc
+            (2, "under five words"),          # shorter than min_len: no grams
+            (3, rep)]                         # exactly one window, unique... 
+    # doc 3's single window collides with doc 1's duplicated window
+    out = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_spans(_docs(spark, rows), id_col="doc_id",
+                                   min_len=5).collect()}
+    assert out[1] == "x y z"
+    assert out[2] == "under five words"
+    assert out[3] == ""                       # fully erased → empty string
+
+
+def test_substring_dedup_no_duplicates_is_identity(spark):
+    from dataquality_spark.operators.dedup import remove_duplicated_spans
+    rows = [(1, "p q r s t u v"), (2, "h i j k l m n")]
+    out = {r["doc_id"]: r["text"] for r in
+           remove_duplicated_spans(_docs(spark, rows), id_col="doc_id",
+                                   min_len=5).collect()}
+    assert out == {1: "p q r s t u v", 2: "h i j k l m n"}
