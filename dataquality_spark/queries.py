@@ -2292,6 +2292,56 @@ GROUP BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Q70 — source-mixture rebalancing (the Pile/DoReMi data-mixing step):
+# equalize source shares under a half-corpus budget. Per-source keep-rates
+# derive from global counts (a tiny aggregate broadcast back as a rate
+# table); membership is the portable multiplicative hash, so the sample is
+# deterministic across engines, runs, and partitionings. Scale shape: one
+# tiny groupBy for counts, one BROADCAST join of the rate table onto the
+# data (no data-wide shuffle to sample), and the per-source audit agg is
+# the only wide shuffle. Integer-only threshold arithmetic (div) so both
+# engines floor identically.
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    b = F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647)) % 10000
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n_tot"),
+                     F.count(F.lit(1)).alias("n_src"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+             .select("source", "n_s",
+                     F.least(F.lit(10000).cast("long"),
+                             F.expr("(n_tot div (2 * n_src)) * 10000 div n_s"))
+                     .alias("thr")))
+    sampled = (docs.select("source", b.alias("b"))
+               .join(F.broadcast(rates.select("source", "thr")), "source")
+               .where(F.col("b") < F.col("thr"))
+               .groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled")))
+    return (rates.join(sampled, "source", "left")
+            .select("source", "n_s", "thr",
+                    F.coalesce("n_sampled", F.lit(0).cast("long"))
+                    .alias("n_sampled"))
+            .orderBy("source"))
+
+
+_SQL_MIXTURE_REBALANCE = """
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT sum(n_s)::bigint AS n_tot, count(*) AS n_src FROM c),
+r AS (SELECT source, n_s,
+             least(10000::bigint, (n_tot // (2 * n_src)) * 10000 // n_s) AS thr
+      FROM c, t),
+s AS (SELECT d.source, count(*)::bigint AS n_sampled
+      FROM documents d JOIN r USING (source)
+      WHERE ((doc_id * 2654435761) % 2147483647 + 2147483647) % 2147483647
+            % 10000 < thr
+      GROUP BY d.source)
+SELECT r.source, r.n_s, r.thr, coalesce(s.n_sampled, 0) AS n_sampled
+FROM r LEFT JOIN s USING (source)
+ORDER BY r.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2383,6 +2433,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_percentiles": q_length_percentiles,
     "snapshot_diff": q_snapshot_diff,
     "substring_dedup": q_substring_dedup,
+    "mixture_rebalance": q_mixture_rebalance,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2444,4 +2495,5 @@ ORACLE_SQL: dict[str, str] = {
     "length_percentiles": _SQL_LENGTH_PERCENTILES,
     "snapshot_diff": _SQL_SNAPSHOT_DIFF,
     "substring_dedup": _SQL_SUBSTRING_DEDUP,
+    "mixture_rebalance": _SQL_MIXTURE_REBALANCE,
 }
