@@ -526,10 +526,14 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "url",
 
     Returns (id_col, text_col) with '' when everything was duplicated.
     """
+    # split-then-filter, never trim: SQL/unicode trim semantics diverge from
+    # Spark's ASCII-space trim (caught by the differential fuzzer on
+    # NBSP-edged text); filtering empties keeps positions canonical on the
+    # word sequence itself
     base = df.select(F.col(id_col).alias("_id"),
-                     F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"))
-    words = (base.select("_id", F.posexplode("_ws").alias("_pos", "_w"))
-             .where(F.col("_w") != ""))
+                     F.filter(F.split(F.col(text_col), r"\s+"),
+                              lambda x: x != "").alias("_ws"))
+    words = base.select("_id", F.posexplode("_ws").alias("_pos", "_w"))
     grams = (base.where(F.size("_ws") >= min_len)
              .select("_id", F.posexplode(F.transform(
                  F.sequence(F.lit(1), F.size("_ws") - (min_len - 1)),

@@ -2136,7 +2136,9 @@ ORDER BY source
 
 def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.lower("text")), r"\s+")
+    # split-then-filter (NEVER trim: SQL trim strips unicode spaces, Spark's
+    # strips ASCII space only — the documented _SQL_WORDS convention)
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     # guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 counts DOWN
     # ([1, 0]), it is not empty — so short docs must never reach it
     grams = F.transform(
@@ -2153,7 +2155,8 @@ def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CORPUS_NGRAMS = """
 WITH w AS (
-  SELECT string_split(trim(lower(text)), ' ') AS ws
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
   FROM documents WHERE text IS NOT NULL
 )
 SELECT array_to_string(ws[i:i+2], ' ') AS gram, count(*) AS cnt
@@ -2264,11 +2267,12 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SUBSTRING_DEDUP = """
 WITH base AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> '') AS ws
+  FROM documents
 ), w AS (
   SELECT doc_id, i - 1 AS pos, ws[i] AS word
   FROM base, unnest(range(1, len(ws) + 1)) AS t(i)
-  WHERE ws[i] <> ''
 ), g AS (
   SELECT doc_id, i - 1 AS gp, array_to_string(ws[i:i+4], ' ') AS gram
   FROM base, unnest(range(1, len(ws) - 3)) AS t(i)
@@ -2317,7 +2321,7 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                .join(F.broadcast(rates.select("source", "thr")), "source")
                .where(F.col("b") < F.col("thr"))
                .groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled")))
-    return (rates.join(sampled, "source", "left")
+    return (rates.join(F.broadcast(sampled), "source", "left")
             .select("source", "n_s", "thr",
                     F.coalesce("n_sampled", F.lit(0).cast("long"))
                     .alias("n_sampled"))

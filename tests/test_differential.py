@@ -50,7 +50,9 @@ QUERIES_UNDER_TEST = [
     "hash_split", "sequence_pack", "decontaminate", "incremental_dedup",
     "html_extract", "prefix_dup_rate", "repetition_topngram",
     "paragraph_dedup", "unicode_nfc", "dedup_winners",
-    "stratified_split",
+    "stratified_split", "domain_stats", "corpus_ngrams",
+    "length_percentiles", "snapshot_diff", "substring_dedup",
+    "mixture_rebalance",
 ]
 
 
