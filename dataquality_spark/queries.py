@@ -2346,6 +2346,90 @@ ORDER BY r.source
 
 
 # ---------------------------------------------------------------------------
+# Q71 — corpus-trained stupid-backoff word LM, RELATIONAL scoring (Brants
+# et al. 2007 "Large Language Models in Machine Translation" — the
+# distributed count-based LM that smooths with score backoff instead of
+# normalized probabilities, built exactly for this architecture). Counts
+# come from two partial-agg groupBys (unigrams, bigrams); scoring is the
+# sharded-serving path: the document's bigram stream JOINS the count
+# tables instead of broadcasting a model artifact, so the "model" can be
+# arbitrarily larger than executor memory — the complement to the
+# broadcast-artifact perplexity UDF in models/ngram_lm.py. S(w2|w1) =
+# c12/c1(w1) when the bigram was seen, else 0.4·(c1(w2)+0.5)/(N+0.5).
+# Per-doc mean log10 score over ≤~100 similar-magnitude terms: float
+# round(6) is stable across engine summation orders (same stance as corr).
+
+def q_sb_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = (docs.where(F.col("text").isNotNull())
+            .select("doc_id", ws.alias("ws")))
+    toks = base.select("doc_id", F.explode("ws").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("n_tot"))
+    # bigrams built ROW-LOCALLY (transform over an index sequence), never a
+    # token-stream self-join — the SQL oracle uses the relational self-join
+    # form, which is the same relation
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 1),
+        lambda i: F.struct(F.element_at("ws", i).alias("w"),
+                           F.element_at("ws", i + 1).alias("w2")))
+    pairs = (base.where(F.size("ws") >= 2)
+             .select("doc_id", F.explode(pair_arr).alias("p"))
+             .select("doc_id", "p.w", "p.w2"))
+    big = pairs.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (pairs
+              .join(big, ["w", "w2"], "left")
+              .join(uni.withColumnRenamed("c1", "c1_w1"), "w", "left")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("c1").alias("c1_w2")), "w2", "left")
+              .crossJoin(F.broadcast(tot)))
+    s = F.when(F.col("c12").isNotNull(), F.col("c12") / F.col("c1_w1")) \
+         .otherwise(0.4 * (F.col("c1_w2") + 0.5) / (F.col("n_tot") + 0.5))
+    return (scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum(F.col("c12").isNotNull().cast("long")).alias("n_hits"),
+        F.round(F.avg(F.log10(s)), 6).alias("logprob"),
+    ).orderBy("doc_id"))
+
+
+_SQL_SB_LM_SCORE = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+), toks AS (
+  SELECT doc_id, i AS pos, ws[i] AS w
+  FROM base, unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE len(ws) >= 1
+), uni AS (
+  SELECT w, count(*) AS c1 FROM toks GROUP BY w
+), tot AS (
+  SELECT sum(c1)::bigint AS n_tot FROM uni
+), pairs AS (
+  SELECT a.doc_id, a.pos, a.w, b.w AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), big AS (
+  SELECT w, w2, count(*) AS c12 FROM pairs GROUP BY w, w2
+)
+SELECT p.doc_id,
+       count(*)::bigint AS n_bigrams,
+       sum((big.c12 IS NOT NULL)::int)::bigint AS n_hits,
+       round(avg(log10(CASE WHEN big.c12 IS NOT NULL
+                            THEN big.c12::double / u1.c1
+                            ELSE 0.4 * (u2.c1 + 0.5) / (tot.n_tot + 0.5)
+                       END)), 6) AS logprob
+FROM pairs p
+LEFT JOIN big ON p.w = big.w AND p.w2 = big.w2
+LEFT JOIN uni u1 ON p.w = u1.w
+LEFT JOIN uni u2 ON p.w2 = u2.w
+CROSS JOIN tot
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2438,6 +2522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "substring_dedup": q_substring_dedup,
     "mixture_rebalance": q_mixture_rebalance,
+    "sb_lm_score": q_sb_lm_score,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2500,4 +2585,5 @@ ORACLE_SQL: dict[str, str] = {
     "snapshot_diff": _SQL_SNAPSHOT_DIFF,
     "substring_dedup": _SQL_SUBSTRING_DEDUP,
     "mixture_rebalance": _SQL_MIXTURE_REBALANCE,
+    "sb_lm_score": _SQL_SB_LM_SCORE,
 }
