@@ -2430,6 +2430,90 @@ ORDER BY p.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Q72 — BM25 retrieval over the corpus (Robertson/Spärck Jones; the
+# Okapi formula with the robust idf = ln((N-df+0.5)/(df+0.5)+1),
+# k1=1.2, b=0.75): top-10 docs per query. The retrieval capability class
+# (contamination lookup, nearest-neighbour curation by lexical match).
+# Scale shape: the query-term list is pushed as a FILTER before any
+# aggregation, so tf/df tables only ever contain query-term rows (tiny →
+# broadcast); corpus scalars (N, avgdl) are one agg; ranking is a
+# per-query window over the matched docs only. Ties rank on the ROUNDED
+# score then doc_id so both engines order identically.
+
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_scan", ["table", "scan"]),
+    ("q_window", ["merge", "window"]),
+    ("q_join", ["hash", "join", "key"]),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = (docs.where(F.col("text").isNotNull())
+            .select("doc_id", ws.alias("ws"))
+            .select("doc_id", "ws", F.size("ws").alias("dl")))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in _BM25_QUERIES for t in ts], "query string, w string")
+    toks = base.select("doc_id", "dl", F.explode("ws").alias("w"))
+    # filter FIRST: only query-term tokens reach any aggregation
+    hits = toks.join(F.broadcast(qterms.select("w").distinct()), "w")
+    tf = hits.groupBy("doc_id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(F.broadcast(dft), "w")
+              .join(F.broadcast(qterms), "w")
+              .crossJoin(F.broadcast(stats)))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    part = idf * F.col("tf") / (F.col("tf") + 1.2 *
+                                (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    per_doc = (scored.groupBy("query", "doc_id")
+               .agg(F.round(F.sum(part), 6).alias("score")))
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (per_doc.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 10)
+            .select("query", "doc_id", "score", "rnk"))
+
+
+def _sql_bm25() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, ts in _BM25_QUERIES for t in ts)
+    return f"""
+WITH qt(query, w) AS (VALUES {vals}),
+base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, ws, len(ws) AS dl FROM base
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d
+), toks AS (
+  SELECT doc_id, dl, unnest(ws) AS w FROM d
+), tf AS (
+  SELECT doc_id, dl, w, count(*) AS tf
+  FROM toks WHERE w IN (SELECT DISTINCT w FROM qt)
+  GROUP BY doc_id, dl, w
+), dft AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), per_doc AS (
+  SELECT qt.query, tf.doc_id,
+         round(sum(ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl
+                                             / stats.avgdl))), 6) AS score
+  FROM tf JOIN dft USING (w) JOIN qt USING (w) CROSS JOIN stats
+  GROUP BY qt.query, tf.doc_id
+)
+SELECT query, doc_id, score,
+       row_number() OVER (PARTITION BY query
+                          ORDER BY score DESC, doc_id ASC) AS rnk
+FROM per_doc
+QUALIFY rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2523,6 +2607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": q_substring_dedup,
     "mixture_rebalance": q_mixture_rebalance,
     "sb_lm_score": q_sb_lm_score,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2586,4 +2671,5 @@ ORACLE_SQL: dict[str, str] = {
     "substring_dedup": _SQL_SUBSTRING_DEDUP,
     "mixture_rebalance": _SQL_MIXTURE_REBALANCE,
     "sb_lm_score": _SQL_SB_LM_SCORE,
+    "bm25_topk": _sql_bm25(),
 }
