@@ -85,7 +85,7 @@ HEADLINE_QUERIES = [
     "audio_features", "html_extract", "sequence_pack", "stratified_split",
     "bpe_tokenize", "domain_stats", "corpus_ngrams",
     "length_percentiles", "snapshot_diff", "substring_dedup",
-    "mixture_rebalance", "sb_lm_score", "bm25_topk",
+    "mixture_rebalance", "sb_lm_score", "bm25_topk", "rolling_anomaly",
 ]
 
 

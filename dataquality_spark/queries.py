@@ -2514,6 +2514,46 @@ QUALIFY rnk <= 10
 
 
 # ---------------------------------------------------------------------------
+# Q73 — rolling time-window anomaly flags on the event stream: per
+# event_type, a trailing 1-hour RANGE frame (not ROWS — the frame is
+# defined by TIME, so sparse and dense hours weight correctly) computes
+# the rolling mean, and a point is anomalous when it deviates from its
+# own trailing context by more than 100. Cross-engine exactness: the
+# range key is integer epoch-MICROseconds on both sides (unix_micros /
+# epoch_us) — never seconds-truncated casts, never interval arithmetic
+# with engine-private rounding. One shuffle (the window partition).
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC (session.py), so the
+    # NTZ→TZ cast is identity and unix_micros == DuckDB epoch_us exactly
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (Window.partitionBy("event_type").orderBy(us.cast("long"))
+         .rangeBetween(-3_600_000_000, 0))
+    roll_mean = F.avg("value").over(w)
+    roll_n = F.count("value").over(w)
+    return (ev.select(
+        "event_id", "event_type", "value",
+        roll_n.alias("n_win"),
+        F.round(roll_mean, 6).alias("roll_mean"),
+        (F.abs(F.col("value") - roll_mean) > 100).alias("is_anomaly"))
+        .orderBy("event_id"))
+
+
+_SQL_ROLLING_ANOMALY = """
+SELECT event_id, event_type, value,
+       count(value) OVER w AS n_win,
+       round(avg(value) OVER w, 6) AS roll_mean,
+       abs(value - avg(value) OVER w) > 100 AS is_anomaly
+FROM events
+WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2608,6 +2648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_rebalance": q_mixture_rebalance,
     "sb_lm_score": q_sb_lm_score,
     "bm25_topk": q_bm25_topk,
+    "rolling_anomaly": q_rolling_anomaly,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2672,4 +2713,5 @@ ORACLE_SQL: dict[str, str] = {
     "mixture_rebalance": _SQL_MIXTURE_REBALANCE,
     "sb_lm_score": _SQL_SB_LM_SCORE,
     "bm25_topk": _sql_bm25(),
+    "rolling_anomaly": _SQL_ROLLING_ANOMALY,
 }

@@ -90,7 +90,7 @@ def test_differential_random_docs(spark, diff_env, name):
 EVENT_QUERIES = [
     "iqr_outliers", "iqr_group_score", "sessionize", "asof_join",
     "first_last_event", "hypertable_rollup", "topk_per_type",
-    "numeric_coercion", "extract_numbers",
+    "numeric_coercion", "extract_numbers", "rolling_anomaly",
 ]
 
 
