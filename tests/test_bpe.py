@@ -130,3 +130,20 @@ def test_truncation_metadata(spark, docs_df):
                         max_vocab_words=3)
     assert art["n_words_used"] == 3
     assert art["n_words_dropped"] > 0
+
+
+def test_encode_properties_hypothesis():
+    from hypothesis import given, settings, strategies as st
+    art = bpe.train_bpe_from_counts(CORPUS, n_merges=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(blacklist_categories=("Zs", "Cc")),
+                   min_size=0, max_size=24))
+    def check(word):
+        toks = bpe.encode_word(word, art["ranks"])
+        assert "".join(toks) == word + bpe.END          # lossless always
+        assert len(toks) <= len(word) + 1               # never longer than chars
+        # idempotent w.r.t. re-encoding the merged output's concatenation
+        assert bpe.encode_word(word, art["ranks"]) == toks
+
+    check()
