@@ -2554,6 +2554,54 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# Q74 — embedding-cluster hygiene: per-label centroid, cosine of every
+# vector to its OWN label's centroid, and an outlier flag — the standard
+# mislabel/contamination screen over an embedding table. Fully relational
+# (explode to (vec, dim, val) → per-(label,dim) mean → join back → three
+# per-vector sums), so it has an exact oracle and at scale is two
+# partial-agg groupBys + one join on (label, dim) — no UDF, no broadcast
+# of the embedding matrix. The flag compares the ROUNDED cosine so both
+# engines decide boundary cases identically.
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label",
+                    F.posexplode("embedding").alias("dim", "v"))
+    cent = ex.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    per_vec = (ex.join(cent, ["label", "dim"])
+               .groupBy("vec_id", "label")
+               .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
+                    F.sum(F.col("v") * F.col("v")).alias("nv"),
+                    F.sum(F.col("c") * F.col("c")).alias("nc")))
+    cos = F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 6)
+    return (per_vec.select("vec_id", "label", cos.alias("cos_centroid"),
+                           (cos < 0.5).alias("is_outlier"))
+            .orderBy("vec_id"))
+
+
+_SQL_EMBEDDING_OUTLIERS = """
+WITH ex AS (
+  SELECT vec_id, label, i - 1 AS dim, embedding[i] AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), cent AS (
+  SELECT label, dim, avg(v) AS c FROM ex GROUP BY label, dim
+), per_vec AS (
+  SELECT ex.vec_id, ex.label,
+         sum(ex.v * cent.c) AS dot,
+         sum(ex.v * ex.v) AS nv,
+         sum(cent.c * cent.c) AS nc
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim
+  GROUP BY ex.vec_id, ex.label
+)
+SELECT vec_id, label,
+       round(dot / sqrt(nv * nc), 6) AS cos_centroid,
+       round(dot / sqrt(nv * nc), 6) < 0.5 AS is_outlier
+FROM per_vec
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2649,6 +2697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sb_lm_score": q_sb_lm_score,
     "bm25_topk": q_bm25_topk,
     "rolling_anomaly": q_rolling_anomaly,
+    "embedding_outliers": q_embedding_outliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2714,4 +2763,5 @@ ORACLE_SQL: dict[str, str] = {
     "sb_lm_score": _SQL_SB_LM_SCORE,
     "bm25_topk": _sql_bm25(),
     "rolling_anomaly": _SQL_ROLLING_ANOMALY,
+    "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
 }

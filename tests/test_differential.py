@@ -216,7 +216,8 @@ def test_differential_random_orders(spark, diff_orders, name):
 
 # --- embeddings fuzz: cross-engine float-sum rounding ----------------------
 
-EMB_QUERIES = ["embedding_knn", "cosine_allpairs", "ivf_knn"]
+EMB_QUERIES = ["embedding_knn", "cosine_allpairs", "ivf_knn",
+               "embedding_outliers"]
 
 
 def _random_embeddings(n=200, dim=64, seed=77):
