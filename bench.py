@@ -123,6 +123,8 @@ def main():
 
     qsecs: dict[str, float] = {"pipeline": round(pipe["sec"], 3)}
     if not pipeline_only:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
         for name in HEADLINE_QUERIES:
             fn = Q.QUERIES[name]
             t0 = time.time()
@@ -131,10 +133,13 @@ def main():
             # A bare .count() lets Catalyst prune projection-only work —
             # including Arrow UDF columns — so it times the scan, not the
             # query (measured: bpe_tokenize's UDF node vanishes from the
-            # count() plan entirely).
-            out.write.format("noop").mode("overwrite").save()
+            # count() plan entirely). The row count rides the SAME pass via
+            # observe() — a second count() action would re-execute the query.
+            obs = Observation()
+            (out.observe(obs, F.count(F.lit(1)).alias("n"))
+             .write.format("noop").mode("overwrite").save())
             qsecs[name] = round(time.time() - t0, 3)
-            n = out.count()  # untimed, for the log line only
+            n = obs.get["n"]
             log(f"query {name}: {qsecs[name]}s ({n} rows)")
 
     total = round(sum(qsecs.values()), 3)

@@ -30,12 +30,19 @@ property-tested in tests/test_bpe.py.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 END = "</w>"  # end-of-word marker: lets merges learn suffixes ("ing</w>")
+
+# ASCII \s+, matching Java's \s in the Spark-side split — Python's default
+# \s (and str.split()) also match unicode spaces like NBSP, which would
+# tokenize differently at encode time than at train time
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +92,11 @@ def train_bpe_from_counts(counts: list[tuple[str, int]],
         if pair_counts[pair] <= 0:
             pair_counts.pop(pair)
             where.get(pair, set()).discard(wi)
-        else:
+        elif n > 0:
+            # only POSITIVE contributions register in the inverted index —
+            # a retraction whose global count stays positive must not
+            # re-insert the retracting word (stale ids degrade the
+            # per-merge rewrite toward a vocabulary rescan)
             where.setdefault(pair, set()).add(wi)
 
     for wi, syms in enumerate(vocab):
@@ -131,10 +142,15 @@ def train_bpe(df: DataFrame, text_col: str = "text", n_merges: int = 200,
     """End-to-end training: distributed counts → deterministic top-K
     truncation (count desc, word asc — NO silent cap: dropped-word count is
     recorded in the artifact) → driver merge loop."""
-    wc = corpus_word_counts(df, text_col)
-    top = (wc.orderBy(F.desc("cnt"), F.asc("word"))
-             .limit(max_vocab_words).collect())
-    n_total = wc.count() if len(top) == max_vocab_words else len(top)
+    wc = corpus_word_counts(df, text_col).persist()
+    try:
+        top = (wc.orderBy(F.desc("cnt"), F.asc("word"))
+                 .limit(max_vocab_words).collect())
+        # persisted: the truncation-count pass reads the cached aggregate,
+        # not a second full corpus scan
+        n_total = wc.count() if len(top) == max_vocab_words else len(top)
+    finally:
+        wc.unpersist()
     art = train_bpe_from_counts([(r["word"], r["cnt"]) for r in top],
                                 n_merges)
     art["n_words_used"] = len(top)
@@ -172,12 +188,15 @@ def encode_batch(texts: pd.Series, ranks: dict) -> pd.DataFrame:
     memo: dict[str, int] = {}
     n_tok, n_words = [], []
     for t in texts:
-        if not isinstance(t, str) or not t.strip():
+        if not isinstance(t, str):
             n_tok.append(0)
             n_words.append(0)
             continue
+        # no strip() shortcut: str.strip is unicode-aware and would call a
+        # pure-NBSP text empty while the ASCII split (= the train-time
+        # tokenization) sees one word
         tot = w = 0
-        for word in t.lower().split():
+        for word in filter(None, _WS.split(t.lower())):
             k = memo.get(word)
             if k is None:
                 k = memo[word] = len(encode_word(word, ranks))

@@ -2106,7 +2106,10 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("lang").alias("n_langs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
-        F.round(F.lit(1.0) - F.count_distinct("text")
+        # distinct over md5 digests, not bodies: the Expand exchange must
+        # carry 16-byte fingerprints, never full documents (md5 is the
+        # cross-engine digest, same as snapshot_diff)
+        F.round(F.lit(1.0) - F.count_distinct(F.md5("text"))
                 / F.count(F.lit(1)), 6).alias("dup_rate"),
     ).orderBy("source"))
 
@@ -2116,7 +2119,7 @@ SELECT source,
        count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
        round(avg(n_chars), 6) AS avg_chars,
-       round(1.0 - count(DISTINCT text)::double / count(*), 6) AS dup_rate
+       round(1.0 - count(DISTINCT md5(text))::double / count(*), 6) AS dup_rate
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -2218,12 +2221,17 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
          .unionAll(docs.where(F.col("doc_id") % 13 == 0)
                    .select((F.col("doc_id") + 1000000).alias("doc_id"),
                            "text")))
-    a_f = docs.select("doc_id", F.md5("text").alias("fp_a"))
-    b_f = b.select("doc_id", F.md5("text").alias("fp_b"))
+    # explicit presence markers + null-safe fp compare: fingerprint
+    # NULL-ness must NOT proxy row presence, or a NULL-text doc present in
+    # both snapshots would misclassify as 'added'
+    a_f = docs.select("doc_id", F.md5("text").alias("fp_a"),
+                      F.lit(True).alias("in_a"))
+    b_f = b.select("doc_id", F.md5("text").alias("fp_b"),
+                   F.lit(True).alias("in_b"))
     joined = a_f.join(b_f, "doc_id", "full_outer")
-    status = (F.when(F.col("fp_a").isNull(), "added")
-              .when(F.col("fp_b").isNull(), "removed")
-              .when(F.col("fp_a") == F.col("fp_b"), "unchanged")
+    status = (F.when(F.col("in_a").isNull(), "added")
+              .when(F.col("in_b").isNull(), "removed")
+              .when(F.col("fp_a").eqNullSafe(F.col("fp_b")), "unchanged")
               .otherwise("changed"))
     return (joined.select(status.alias("status"))
             .groupBy("status").agg(F.count(F.lit(1)).alias("n"))
@@ -2231,18 +2239,19 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SNAPSHOT_DIFF = """
-WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+WITH a AS (SELECT doc_id, md5(text) AS fp_a, true AS in_a FROM documents),
 b AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp_b
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS fp_b,
+         true AS in_b
   FROM documents WHERE doc_id % 11 <> 0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_b
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_b, true AS in_b
   FROM documents WHERE doc_id % 13 = 0
 )
-SELECT CASE WHEN fp_a IS NULL THEN 'added'
-            WHEN fp_b IS NULL THEN 'removed'
-            WHEN fp_a = fp_b THEN 'unchanged'
+SELECT CASE WHEN in_a IS NULL THEN 'added'
+            WHEN in_b IS NULL THEN 'removed'
+            WHEN fp_a IS NOT DISTINCT FROM fp_b THEN 'unchanged'
             ELSE 'changed' END AS status,
        count(*) AS n
 FROM a FULL OUTER JOIN b USING (doc_id)
@@ -2362,8 +2371,12 @@ ORDER BY r.source
 def q_sb_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    base = (docs.where(F.col("text").isNotNull())
+    allb = (docs.where(F.col("text").isNotNull())
             .select("doc_id", ws.alias("ws")))
+    # counts train on the 90% split, scoring runs on the HELD-OUT 10% —
+    # otherwise every scored bigram is by construction in the count table
+    # and the backoff branch is dead code (caught in review)
+    base = allb.where(F.col("doc_id") % 10 != 0)
     toks = base.select("doc_id", F.explode("ws").alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     tot = uni.agg(F.sum("c1").alias("n_tot"))
@@ -2374,18 +2387,24 @@ def q_sb_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("ws") - 1),
         lambda i: F.struct(F.element_at("ws", i).alias("w"),
                            F.element_at("ws", i + 1).alias("w2")))
-    pairs = (base.where(F.size("ws") >= 2)
-             .select("doc_id", F.explode(pair_arr).alias("p"))
-             .select("doc_id", "p.w", "p.w2"))
-    big = pairs.groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    scored = (pairs
+
+    def _pairs(frame):
+        return (frame.where(F.size("ws") >= 2)
+                .select("doc_id", F.explode(pair_arr).alias("p"))
+                .select("doc_id", "p.w", "p.w2"))
+
+    big = _pairs(base).groupBy("w", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    held = _pairs(allb.where(F.col("doc_id") % 10 == 0))
+    scored = (held
               .join(big, ["w", "w2"], "left")
               .join(uni.withColumnRenamed("c1", "c1_w1"), "w", "left")
               .join(uni.select(F.col("w").alias("w2"),
                                F.col("c1").alias("c1_w2")), "w2", "left")
               .crossJoin(F.broadcast(tot)))
+    # OOV w2 (never seen in training): c1_w2 is NULL → count 0 in backoff
     s = F.when(F.col("c12").isNotNull(), F.col("c12") / F.col("c1_w1")) \
-         .otherwise(0.4 * (F.col("c1_w2") + 0.5) / (F.col("n_tot") + 0.5))
+         .otherwise(0.4 * (F.coalesce("c1_w2", F.lit(0)) + 0.5)
+                    / (F.col("n_tot") + 0.5))
     return (scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum(F.col("c12").isNotNull().cast("long")).alias("n_hits"),
@@ -2394,32 +2413,38 @@ def q_sb_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SB_LM_SCORE = """
-WITH base AS (
+WITH allb AS (
   SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
                              x -> x <> '') AS ws
   FROM documents WHERE text IS NOT NULL
 ), toks AS (
   SELECT doc_id, i AS pos, ws[i] AS w
-  FROM base, unnest(range(1, len(ws) + 1)) AS t(i)
-  WHERE len(ws) >= 1
+  FROM allb, unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE doc_id % 10 <> 0
 ), uni AS (
   SELECT w, count(*) AS c1 FROM toks GROUP BY w
 ), tot AS (
   SELECT sum(c1)::bigint AS n_tot FROM uni
-), pairs AS (
-  SELECT a.doc_id, a.pos, a.w, b.w AS w2
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 ), big AS (
-  SELECT w, w2, count(*) AS c12 FROM pairs GROUP BY w, w2
+  SELECT w, w2, count(*) AS c12 FROM (
+    SELECT ws[i] AS w, ws[i + 1] AS w2
+    FROM allb, unnest(range(1, len(ws))) AS t(i)
+    WHERE doc_id % 10 <> 0 AND len(ws) >= 2
+  ) GROUP BY w, w2
+), held AS (
+  SELECT doc_id, ws[i] AS w, ws[i + 1] AS w2
+  FROM allb, unnest(range(1, len(ws))) AS t(i)
+  WHERE doc_id % 10 = 0 AND len(ws) >= 2
 )
 SELECT p.doc_id,
        count(*)::bigint AS n_bigrams,
        sum((big.c12 IS NOT NULL)::int)::bigint AS n_hits,
        round(avg(log10(CASE WHEN big.c12 IS NOT NULL
                             THEN big.c12::double / u1.c1
-                            ELSE 0.4 * (u2.c1 + 0.5) / (tot.n_tot + 0.5)
+                            ELSE 0.4 * (coalesce(u2.c1, 0) + 0.5)
+                                 / (tot.n_tot + 0.5)
                        END)), 6) AS logprob
-FROM pairs p
+FROM held p
 LEFT JOIN big ON p.w = big.w AND p.w2 = big.w2
 LEFT JOIN uni u1 ON p.w = u1.w
 LEFT JOIN uni u2 ON p.w2 = u2.w
@@ -2532,11 +2557,14 @@ def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rangeBetween(-3_600_000_000, 0))
     roll_mean = F.avg("value").over(w)
     roll_n = F.count("value").over(w)
+    # flag compares the ROUNDED mean: engine summation order may differ by
+    # ulps inside the frame, and the boolean must not flip on that
     return (ev.select(
         "event_id", "event_type", "value",
         roll_n.alias("n_win"),
         F.round(roll_mean, 6).alias("roll_mean"),
-        (F.abs(F.col("value") - roll_mean) > 100).alias("is_anomaly"))
+        (F.abs(F.col("value") - F.round(roll_mean, 6)) > 100)
+        .alias("is_anomaly"))
         .orderBy("event_id"))
 
 
@@ -2544,7 +2572,7 @@ _SQL_ROLLING_ANOMALY = """
 SELECT event_id, event_type, value,
        count(value) OVER w AS n_win,
        round(avg(value) OVER w, 6) AS roll_mean,
-       abs(value - avg(value) OVER w) > 100 AS is_anomaly
+       abs(value - round(avg(value) OVER w, 6)) > 100 AS is_anomaly
 FROM events
 WHERE value IS NOT NULL
 WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
@@ -2573,7 +2601,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.sum(F.col("v") * F.col("c")).alias("dot"),
                     F.sum(F.col("v") * F.col("v")).alias("nv"),
                     F.sum(F.col("c") * F.col("c")).alias("nc")))
-    cos = F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 6)
+    # explicit zero-norm guard: Spark x/0 is NULL but DuckDB (IEEE ops) is
+    # inf/NaN — an all-zero vector or centroid must yield NULL in BOTH
+    cos = F.when(F.col("nv") * F.col("nc") > 0,
+                 F.round(F.col("dot") / F.sqrt(F.col("nv") * F.col("nc")), 6))
     return (per_vec.select("vec_id", "label", cos.alias("cos_centroid"),
                            (cos < 0.5).alias("is_outlier"))
             .orderBy("vec_id"))
@@ -2594,8 +2625,10 @@ WITH ex AS (
   GROUP BY ex.vec_id, ex.label
 )
 SELECT vec_id, label,
-       round(dot / sqrt(nv * nc), 6) AS cos_centroid,
-       round(dot / sqrt(nv * nc), 6) < 0.5 AS is_outlier
+       CASE WHEN nv * nc > 0
+            THEN round(dot / sqrt(nv * nc), 6) END AS cos_centroid,
+       CASE WHEN nv * nc > 0
+            THEN round(dot / sqrt(nv * nc), 6) < 0.5 END AS is_outlier
 FROM per_vec
 ORDER BY vec_id
 """
