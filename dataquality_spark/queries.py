@@ -2635,6 +2635,32 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# Q75 — the composed tokenize→pack tail of a training-data pipeline:
+# sequence packing driven by REAL BPE subword counts (models/bpe.py)
+# instead of the whitespace proxy of `sequence_pack` — the integration the
+# BPE module exists for. Rows-only (the token counts come from the Arrow
+# encode UDF); the packing arithmetic itself is the oracle-checked
+# `pack_sequences` distributed prefix sum, and tests/test_bpe.py pins the
+# UDF counts, so the composition is covered at both ends.
+
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.models import bpe
+    from dataquality_spark.operators.packing import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    art = bpe.train_bpe(docs, text_col="text", n_merges=200)
+    udf = bpe.make_bpe_udf(spark, art)
+    base = (docs.select("doc_id", udf("text").alias("s"))
+            .select("doc_id",
+                    F.col("s.n_bpe_tokens").alias("n_tokens"),
+                    F.pmod(F.col("doc_id") * 2654435761,
+                           F.lit(2147483647)).alias("h"))
+            .where(F.col("n_tokens") > 0))
+    out = pack_sequences(base, ctx_len=512, order_by=["h", "doc_id"])
+    return out.select("doc_id", "n_tokens", "offset", "chunk_id",
+                      "chunk_pos")
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2731,6 +2757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "rolling_anomaly": q_rolling_anomaly,
     "embedding_outliers": q_embedding_outliers,
+    "bpe_pack": q_bpe_pack,
 }
 
 ORACLE_SQL: dict[str, str] = {
