@@ -2661,6 +2661,56 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q76 — the classic star-join OLAP shape (TPC-H Q5 "local supplier
+# volume" reduced to this schema): fact lineitem ⋈ orders ⋈ customer ⋈
+# nation ⋈ region, region + date-window filters, revenue per nation.
+# Scale notes: the three dimension joins BROADCAST (customer is the
+# largest at ~1.5% of fact size; nation/region are constants), the date
+# filter pushes to the orders scan, and the one engineered shuffle is the
+# orders⋈lineitem join on orderkey. Revenue accumulates in DECIMAL so the
+# sum is EXACT and order-independent — double summation across engines
+# diverges at the 6dp house rounding once group sums reach ~1e7.
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)")))
+    j = (li.join(orders.where(F.col("o_orderdate") >= "1996-01-01"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(reg.where(F.col("r_name").isin("ASIA", "EUROPE"))),
+               F.col("n_regionkey") == F.col("r_regionkey")))
+    return (j.groupBy("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+            .orderBy("r_name", "n_name"))
+
+
+_SQL_REGION_REVENUE = """
+SELECT r_name, n_name,
+       count(*)::bigint AS n_items,
+       round(sum(l_extendedprice::decimal(18,2)
+                 * (1::decimal(18,2) - l_discount::decimal(18,2)))::double,
+             2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= '1996-01-01'
+  AND r_name IN ('ASIA', 'EUROPE')
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2758,6 +2808,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_anomaly": q_rolling_anomaly,
     "embedding_outliers": q_embedding_outliers,
     "bpe_pack": q_bpe_pack,
+    "region_revenue": q_region_revenue,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2824,4 +2875,5 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": _sql_bm25(),
     "rolling_anomaly": _SQL_ROLLING_ANOMALY,
     "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
+    "region_revenue": _SQL_REGION_REVENUE,
 }

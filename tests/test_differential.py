@@ -144,7 +144,8 @@ def test_differential_random_events(spark, diff_events, name):
 
 # --- orders/lineitem fuzz: joins, null propagation, float aggregation ------
 
-ORDER_QUERIES = ["chronology", "rowsum_check", "corr", "corr_pairs_filter"]
+ORDER_QUERIES = [
+    "region_revenue","chronology", "rowsum_check", "corr", "corr_pairs_filter"]
 
 
 def _random_orders(n_orders=400, seed=23):
@@ -196,6 +197,12 @@ def diff_orders(spark, tmp_path_factory):
     for t in ("orders", "lineitem"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet/*.parquet')")
+    # static dimension tables (joins for region_revenue): randomness lives
+    # in the fact tables; dims come from the fixed testdata
+    import shutil
+    for t in ("customer", "nation", "region"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{d}/{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
     return str(d), con
 
 
