@@ -30,6 +30,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _doc_hash(col: str = "doc_id"):
+    """The house engine-portable shuffle hash (Knuth multiplicative mod
+    Mersenne prime) — single definition for every deterministic
+    split/sample/pack ordering; the SQL spelling is the double-pmod form
+    in the paired oracles."""
+    return F.pmod(F.col(col) * 2654435761, F.lit(2147483647))
+
+
 _DOC_LANGS = ["de", "es", "fr"]  # documents langs with own stop lists; rest→en
 
 
@@ -1207,7 +1215,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     test. Uses DuckDB-reproducible arithmetic (doc_id * mix-ish constant mod
     prime) rather than engine-private hash functions."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647)) % 100
+    bucket = _doc_hash() % 100
     split = (F.when(bucket < 80, "train")
              .when(bucket < 90, "val").otherwise("test"))
     return (docs.select(split.alias("split"))
@@ -1721,7 +1729,7 @@ _TOKEN_BUDGET = 1500
 
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    mix_hash = F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647))
+    mix_hash = _doc_hash()
     base = docs.select(
         "lang", "doc_id",
         F.size(TX.words_col(F.col("text"))).alias("n_tokens"),
@@ -1868,7 +1876,7 @@ FROM (
 
 def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    h = F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647))
+    h = _doc_hash()
     w = Window.partitionBy("lang").orderBy("h", "doc_id")
     wcnt = Window.partitionBy("lang")
     base = (docs.select("doc_id", "lang", h.alias("h"))
@@ -1959,7 +1967,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id", F.size(TX.words_col(F.col("text"))).cast("long")
         .alias("n_tokens"),
-        F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647)).alias("h"))
+        _doc_hash().alias("h"))
     out = pack_sequences(base, ctx_len=_CTX_LEN, order_by=["h", "doc_id"])
     return out.select("doc_id", "n_tokens", "offset", "chunk_id",
                       "chunk_pos")
@@ -2317,7 +2325,7 @@ GROUP BY d.doc_id
 
 def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    b = F.pmod(F.col("doc_id") * 2654435761, F.lit(2147483647)) % 10000
+    b = _doc_hash() % 10000
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     tot = counts.agg(F.sum("n_s").alias("n_tot"),
                      F.count(F.lit(1)).alias("n_src"))
@@ -2649,13 +2657,18 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     art = bpe.train_bpe(docs, text_col="text", n_merges=200)
     udf = bpe.make_bpe_udf(spark, art)
+    # persist the (doc_id, n_tokens, h) projection: the distributed prefix
+    # sum underneath pack_sequences runs multiple jobs over it (range-
+    # partition sampling, per-partition totals, final output), and without
+    # the cache each job re-runs the Arrow encode over the whole corpus
+    # (same persistence contract as the SimHash/MinHash signature frames)
     base = (docs.select("doc_id", udf("text").alias("s"))
             .select("doc_id",
                     F.col("s.n_bpe_tokens").alias("n_tokens"),
-                    F.pmod(F.col("doc_id") * 2654435761,
-                           F.lit(2147483647)).alias("h"))
-            .where(F.col("n_tokens") > 0))
-    out = pack_sequences(base, ctx_len=512, order_by=["h", "doc_id"])
+                    _doc_hash().alias("h"))
+            .where(F.col("n_tokens") > 0)
+            .persist())
+    out = pack_sequences(base, ctx_len=_CTX_LEN, order_by=["h", "doc_id"])
     return out.select("doc_id", "n_tokens", "offset", "chunk_id",
                       "chunk_pos")
 
@@ -2686,9 +2699,13 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
          .join(F.broadcast(reg.where(F.col("r_name").isin("ASIA", "EUROPE"))),
                F.col("n_regionkey") == F.col("r_regionkey")))
+    # round the DECIMAL (exact integer arithmetic, identical HALF-UP in
+    # both engines), THEN cast: rounding the double instead diverges on
+    # exact half-cent ties (Spark shortest-repr HALF_UP vs DuckDB
+    # nearbyint — measured 1.0050 → 1.01 vs 1.00)
     return (j.groupBy("r_name", "n_name")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+                 F.round(F.sum(rev), 2).cast("double").alias("revenue"))
             .orderBy("r_name", "n_name"))
 
 
@@ -2696,8 +2713,8 @@ _SQL_REGION_REVENUE = """
 SELECT r_name, n_name,
        count(*)::bigint AS n_items,
        round(sum(l_extendedprice::decimal(18,2)
-                 * (1::decimal(18,2) - l_discount::decimal(18,2)))::double,
-             2) AS revenue
+                 * (1::decimal(18,2) - l_discount::decimal(18,2))),
+             2)::double AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -153,12 +153,12 @@ def test_bpe_pack_composition(spark):
     """The composed tokenize→pack query: offsets must equal the exclusive
     prefix sum of the UDF's own token counts in (h, doc_id) order, and
     chunk ids must be offset div 512 — recomputed independently in pandas."""
-    from dataquality_spark.queries import q_bpe_pack
+    from dataquality_spark.queries import _CTX_LEN, q_bpe_pack
     out = q_bpe_pack(spark, SF).toPandas()
     assert len(out) > 0 and (out["n_tokens"] > 0).all()
     h = (out["doc_id"] * 2654435761) % 2147483647
     df = out.assign(h=h).sort_values(["h", "doc_id"]).reset_index(drop=True)
     expect_off = df["n_tokens"].cumsum().shift(fill_value=0)
     assert (df["offset"].to_numpy() == expect_off.to_numpy()).all()
-    assert (df["chunk_id"] == df["offset"] // 512).all()
-    assert (df["chunk_pos"] == df["offset"] % 512).all()
+    assert (df["chunk_id"] == df["offset"] // _CTX_LEN).all()
+    assert (df["chunk_pos"] == df["offset"] % _CTX_LEN).all()
