@@ -106,16 +106,24 @@ def main():
 
     pages_path = ensure_pages(spark, n_pages)
 
-    # warm up JVM/codegen/python workers on a small slice; train the model
-    # artifacts (incl. the quality classifier's lru-cached one) outside any
-    # timed region — artifact training is per-process setup, not query work
-    warm = ensure_pages(spark, 5000, seed=7)
+    # Warm to JIT STEADY STATE on a 10% slice, exercising the same code
+    # paths as the timed run — including the decisions parquet WRITE (a
+    # count()-only warm pass leaves the writer path interpreted). Measured
+    # on an idle host: a 5k-row count-warm left the timed 600k run at
+    # ~13-15k docs/s while a second same-process run hit ~19k — the gap was
+    # C2 compilation of the codegen'd stages, not host noise. Steady-state
+    # is the honest 100TB metric: cold-start amortizes to nothing over an
+    # hours-long job. Artifact training (incl. the quality classifier's
+    # lru-cached one) also happens here, outside any timed region.
+    warm = ensure_pages(spark, max(5000, n_pages // 10), seed=7)
     from dataquality_spark import pipeline as P
     from dataquality_spark.models import quality
     quality.train_quality()
     cleanup = []
     ann = P.run_pipeline(spark, spark.read.parquet(warm), cleanup=cleanup)
-    ann.where("keep").count()
+    shutil.rmtree("/tmp/dq_bench_warm_out", ignore_errors=True)
+    P.decisions_table(ann).write.mode("overwrite").parquet(
+        "/tmp/dq_bench_warm_out")
     for f in cleanup:
         f.unpersist()
 
