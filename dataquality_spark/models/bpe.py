@@ -93,11 +93,15 @@ def train_bpe_from_counts(counts: list[tuple[str, int]],
             pair_counts.pop(pair)
             where.get(pair, set()).discard(wi)
         elif n > 0:
-            # only POSITIVE contributions register in the inverted index —
-            # a retraction whose global count stays positive must not
-            # re-insert the retracting word (stale ids degrade the
-            # per-merge rewrite toward a vocabulary rescan)
             where.setdefault(pair, set()).add(wi)
+        else:
+            # retraction with the global count still positive: drop wi now —
+            # the rewrite loop retracts ALL old adjacencies before adding
+            # the new ones back, so if the word still contains the pair the
+            # following positive add re-inserts it; without the discard,
+            # stale ids accumulate and degrade the per-merge rewrite toward
+            # a vocabulary rescan
+            where.get(pair, set()).discard(wi)
 
     for wi, syms in enumerate(vocab):
         for a, b in zip(syms, syms[1:]):
