@@ -70,18 +70,27 @@ def _burn(n):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    lo, hi = LEVELS
+    # calibrate BEFORE and AFTER the level runs and normalize to the max:
+    # the host disturbance is bursty (a post-run-only probe once read 0.655
+    # minutes after a pre-run probe read 0.924), and a single calibration
+    # landing in a burst makes the normalized number meaningless
+    print("calibrating host CPU ceiling (pre-run)…", file=sys.stderr,
+          flush=True)
+    ceiling_pre = host_cpu_ceiling(lo, hi)
     results = {}
     for cpus in LEVELS:
         print(f"running pipeline at local[{cpus}]…", file=sys.stderr, flush=True)
         results[cpus] = run_level(cpus, sf_dir)
         print(f"  local[{cpus}]: {results[cpus]['pipeline_docs_per_sec']} docs/s",
               file=sys.stderr, flush=True)
-    lo, hi = LEVELS
     thr_lo = results[lo]["pipeline_docs_per_sec"]
     thr_hi = results[hi]["pipeline_docs_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
-    print("calibrating host CPU ceiling…", file=sys.stderr, flush=True)
-    ceiling = host_cpu_ceiling(lo, hi)
+    print("calibrating host CPU ceiling (post-run)…", file=sys.stderr,
+          flush=True)
+    ceiling_post = host_cpu_ceiling(lo, hi)
+    ceiling = max(ceiling_pre, ceiling_post)
     summary = {
         "sf_dir": sf_dir,
         "rows": results[hi]["pipeline_rows"],
@@ -89,6 +98,8 @@ def main():
         f"docs_per_sec_local{hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),
         "host_cpu_ceiling": round(ceiling, 3),
+        "host_cpu_ceiling_pre": round(ceiling_pre, 3),
+        "host_cpu_ceiling_post": round(ceiling_post, 3),
         "efficiency_vs_host_ceiling": round(eff / ceiling, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
@@ -127,12 +138,12 @@ per BASELINE.md): same job, same input, fresh JVM per level, best of
 scaling efficiency = ({thr_hi} / {thr_lo}) / {hi // lo} = **{eff:.3f}**
 (target ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"})
 
-Host calibration: a pure-CPU multiprocessing microbenchmark run in the same
-session scales {lo}→{hi} processes at **{ceiling:.3f}** efficiency (the host
-is a co-tenant 32-core VM — CPU steal, no SMT). Normalized to that
-concurrently-measured hardware ceiling the pipeline reaches
-**{eff / ceiling:.3f}**. On a real cluster N→4N adds whole machines; this
-sandbox scales within one shared box.
+Host calibration: the pure-CPU multiprocessing microbenchmark scales
+{lo}→{hi} processes at **{ceiling_pre:.3f}** (pre-run) / **{ceiling_post:.3f}**
+(post-run); the higher of the two (**{ceiling:.3f}**) is the credible
+hardware ceiling for a bursty co-tenant VM. Normalized to it the pipeline
+reaches **{eff / ceiling:.3f}**. On a real cluster N→4N adds whole
+machines; this sandbox scales within one shared box.
 """)
         f.write(tail)
     print("wrote BENCH/BASELINE.md", file=sys.stderr)
