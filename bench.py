@@ -86,7 +86,7 @@ HEADLINE_QUERIES = [
     "bpe_tokenize", "domain_stats", "corpus_ngrams",
     "length_percentiles", "snapshot_diff", "substring_dedup",
     "mixture_rebalance", "sb_lm_score", "bm25_topk", "rolling_anomaly",
-    "embedding_outliers", "bpe_pack", "region_revenue",
+    "embedding_outliers", "bpe_pack", "region_revenue", "source_overlap",
 ]
 
 

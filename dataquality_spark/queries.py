@@ -2728,6 +2728,49 @@ ORDER BY r_name, n_name
 
 
 # ---------------------------------------------------------------------------
+# Q77 — cross-source duplication forensics: for every ordered source pair
+# (a, b), how many of a's distinct content fingerprints also occur in b —
+# the overlap matrix used to detect mirrored dumps / re-crawls before
+# mixing sources. Scale shape: docs reduce to distinct (source, md5)
+# pairs FIRST (one partial-agg distinct), then each fingerprint's source
+# set (collect_set, bounded by source cardinality) explodes to its
+# ordered pairs — a gram shared by k sources emits k·(k-1) cells, k ≤
+# |sources|, so the join-free pair expansion is bounded per key and no
+# doc body ever shuffles.
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # prefix fingerprint (64 chars), the same near-boilerplate key as
+    # prefix_dup_rate: full-text md5 found zero cross-source collisions in
+    # the fixed corpus, making the oracle vacuous
+    # NULL-text guard: Spark's groupBy would bucket null fingerprints
+    # together while the SQL equi-join drops them — exclude explicitly
+    fp = (docs.where(F.col("text").isNotNull())
+          .select("source",
+                  F.md5(F.substring("text", 1, 64)).alias("fp"))
+          .distinct())
+    sets = fp.groupBy("fp").agg(F.collect_set("source").alias("ss"))
+    pairs = (sets.select(F.explode("ss").alias("src_a"), "ss")
+             .select("src_a", F.explode("ss").alias("src_b"))
+             .where(F.col("src_a") != F.col("src_b")))
+    return (pairs.groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .orderBy("src_a", "src_b"))
+
+
+_SQL_SOURCE_OVERLAP = """
+WITH fp AS (
+  SELECT DISTINCT source, md5(substr(text, 1, 64)) AS fp
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.source AS src_a, b.source AS src_b, count(*)::bigint AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source <> b.source
+GROUP BY a.source, b.source
+ORDER BY src_a, src_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q64 — distributed BPE tokenizer training + tokenization (models/bpe.py):
 # one word-count shuffle → driver merges on the compact weighted vocabulary
 # (the HF-tokenizers/SentencePiece scaling shape) → broadcast ranks →
@@ -2826,6 +2869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "bpe_pack": q_bpe_pack,
     "region_revenue": q_region_revenue,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2893,4 +2937,5 @@ ORACLE_SQL: dict[str, str] = {
     "rolling_anomaly": _SQL_ROLLING_ANOMALY,
     "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
     "region_revenue": _SQL_REGION_REVENUE,
+    "source_overlap": _SQL_SOURCE_OVERLAP,
 }

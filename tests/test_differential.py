@@ -52,7 +52,7 @@ QUERIES_UNDER_TEST = [
     "paragraph_dedup", "unicode_nfc", "dedup_winners",
     "stratified_split", "domain_stats", "corpus_ngrams",
     "length_percentiles", "snapshot_diff", "substring_dedup",
-    "mixture_rebalance", "sb_lm_score", "bm25_topk",
+    "mixture_rebalance", "sb_lm_score", "bm25_topk", "source_overlap",
 ]
 
 
