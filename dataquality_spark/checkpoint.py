@@ -61,6 +61,17 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, out_dir: str,
     """
     os.makedirs(os.path.join(out_dir, "_state"), exist_ok=True)
     done = completed_chunks(out_dir)
+    # resume with a different n_chunks silently re-processes (or skips)
+    # rows whose pmod changed — every committed state file records the
+    # partitioning it was written under, so refuse the mismatch loudly
+    for i in sorted(done):
+        with open(_state_path(out_dir, i)) as f:
+            committed = json.load(f).get("n_chunks")
+        if committed != n_chunks:
+            raise ValueError(
+                f"resume n_chunks={n_chunks} does not match committed "
+                f"n_chunks={committed} in {_state_path(out_dir, i)}; "
+                f"re-run with --chunks {committed} or use a fresh out_dir")
     todo = [i for i in range(n_chunks) if i not in done]
     if max_chunks is not None:
         todo = todo[:max_chunks]
@@ -86,24 +97,27 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, out_dir: str,
     # Lineage from the written decisions: rules map + keep flag only — the
     # parquet reader prunes scrubbed_text, so this is a cheap second scan of
     # the OUTPUT, not the input.
-    written = spark.read.parquet(data_dir).where(F.col("chunk").isin(todo))
+    # Empty-input guard: when every todo chunk had zero rows the dynamic
+    # write emits no data files (possibly just a _SUCCESS marker), and the
+    # read fails UNABLE_TO_INFER_SCHEMA — the chunks are still DONE
+    # (rows_in=0) and must commit state, or resume wedges forever.
+    from pyspark.errors import AnalysisException
+    try:
+        written = spark.read.parquet(data_dir).where(
+            F.col("chunk").isin(todo))
+    except AnalysisException:
+        counts = {}
+        metrics_by_chunk: dict[int, list[dict]] = {i: [] for i in todo}
+        return _commit_states(out_dir, data_dir, todo, n_chunks, counts,
+                              metrics_by_chunk)
     counts = {r["chunk"]: r for r in
               written.groupBy("chunk")
               .agg(F.count(F.lit(1)).alias("rows_in"),
                    F.sum(F.col("keep").cast("long")).alias("rows_kept"))
               .collect()}
-    per_rule = (written
-                .select("chunk", F.explode("rules").alias("rule_id", "passed"))
-                .groupBy("chunk", "rule_id")
-                .agg(F.count(F.when(F.col("passed"), 1)).alias("pass_count"),
-                     F.count(F.when(~F.col("passed"), 1)).alias("fail_count"))
-                .withColumn(
-                    "score",
-                    F.when((F.col("pass_count") + F.col("fail_count")) > 0,
-                           F.round(F.col("pass_count")
-                                   / (F.col("pass_count")
-                                      + F.col("fail_count")), 6)))
-                .collect())
+    # one definition of the rule score: the pipeline's, grouped by chunk
+    per_rule = P.metrics_from_decisions(written,
+                                        group_cols=("chunk",)).collect()
     metrics_by_chunk: dict[int, list[dict]] = {i: [] for i in todo}
     for r in per_rule:
         metrics_by_chunk[r["chunk"]].append({
@@ -113,6 +127,13 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, out_dir: str,
             "score": r["score"],
         })
 
+    return _commit_states(out_dir, data_dir, todo, n_chunks, counts,
+                          metrics_by_chunk)
+
+
+def _commit_states(out_dir: str, data_dir: str, todo: list[int],
+                   n_chunks: int, counts: dict,
+                   metrics_by_chunk: dict[int, list[dict]]) -> dict:
     processed = []
     for i in todo:
         c = counts.get(i)

@@ -217,4 +217,9 @@ def fuzzy_dedup(df: DataFrame, id_col: str = "doc_id",
                .withColumn("component", F.coalesce("component",
                                                    F.col("_cid")))
                .drop("_cid"))
+    if order_by is None:
+        # derive the default winner policy from THIS call's text_col —
+        # canonical_winners' own default hardcodes "text" and would crash
+        # (or silently rank by an unrelated column) for text_col != "text"
+        order_by = [F.desc(F.length(text_col)), F.asc(id_col)]
     return canonical_winners(labeled, id_col=id_col, order_by=order_by)

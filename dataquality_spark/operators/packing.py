@@ -32,10 +32,15 @@ from pyspark.sql import functions as F
 
 def with_global_offset(df: DataFrame, size_col: str, order_by: list[str],
                        out_col: str = "offset",
-                       num_partitions: int | None = None) -> DataFrame:
+                       num_partitions: int | None = None,
+                       cleanup: list[DataFrame] | None = None) -> DataFrame:
     """Append ``out_col`` = exclusive global running sum of ``size_col`` in
     the total order given by ``order_by`` (columns must form a total order;
-    ties would make the prefix sum nondeterministic)."""
+    ties would make the prefix sum nondeterministic). ``cleanup``: the
+    range-partitioned frame is persisted for cross-job correctness (see
+    inline comment); pass a list to receive the handle and unpersist once
+    the returned frame is materialized (same contract as
+    ``dedup.near_dup_pairs``)."""
     parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_by])
@@ -45,7 +50,17 @@ def with_global_offset(df: DataFrame, size_col: str, order_by: list[str],
                               Window.partitionBy("_pid")
                               .orderBy(*[F.col(c) for c in order_by])
                               .rowsBetween(Window.unboundedPreceding,
-                                           Window.currentRow))))
+                                           Window.currentRow)))
+              # persist is CORRECTNESS here, not caching: the totals
+              # collect below and the caller's final action are separate
+              # jobs, and each job's RangePartitioner re-SAMPLES its
+              # boundaries — a row near a boundary may land in partition p
+              # in one job and p+1 in the other, silently adding the wrong
+              # base offset. The cache pins one materialized partitioning
+              # that both jobs read.
+              .persist())
+    if cleanup is not None:
+        cleanup.append(ranged)
     totals = (ranged.groupBy("_pid")
               .agg(F.sum(size_col).alias("_tot"))
               .collect())
@@ -53,17 +68,23 @@ def with_global_offset(df: DataFrame, size_col: str, order_by: list[str],
     for r in sorted(totals, key=lambda r: r["_pid"]):
         base[r["_pid"]] = acc
         acc += r["_tot"]
-    base_map = F.create_map(
-        *[F.lit(x) for kv in base.items() for x in kv]) if base else F.create_map()
+    if base:
+        base_map = F.create_map(
+            *[F.lit(x) for kv in base.items() for x in kv])
+        base_expr = F.coalesce(base_map[F.col("_pid")], F.lit(0))
+    else:
+        # empty input: a bare create_map() is map<void,void> and fails
+        # analysis when indexed by the int _pid
+        base_expr = F.lit(0)
     return (ranged
-            .withColumn(out_col,
-                        F.coalesce(base_map[F.col("_pid")], F.lit(0))
+            .withColumn(out_col, base_expr
                         + F.col("_cum_in") - F.col(size_col))
             .drop("_pid", "_cum_in"))
 
 
 def pack_sequences(df: DataFrame, ctx_len: int, size_col: str = "n_tokens",
-                   order_by: list[str] | None = None) -> DataFrame:
+                   order_by: list[str] | None = None,
+                   cleanup: list[DataFrame] | None = None) -> DataFrame:
     """Concatenate-and-chunk packing: each doc gets its global token
     ``offset``, the training chunk it starts in (``chunk_id``), and its
     position within that chunk (``chunk_pos``). A doc whose tokens cross a
@@ -72,7 +93,10 @@ def pack_sequences(df: DataFrame, ctx_len: int, size_col: str = "n_tokens",
     it is reproducible across runs, partitionings, and engines."""
     if order_by is None:
         order_by = ["doc_id"]
-    out = with_global_offset(df, size_col, order_by)
+    out = with_global_offset(df, size_col, order_by, cleanup=cleanup)
+    # integer div, not (offset / ctx).cast("long"): the double division
+    # loses exactness past 2^53 global tokens and can disagree with the
+    # exact modulo by one chunk
     return (out.withColumn("chunk_id",
-                           (F.col("offset") / ctx_len).cast("long"))
+                           F.expr(f"offset div {int(ctx_len)}"))
             .withColumn("chunk_pos", F.col("offset") % ctx_len))

@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 from dataquality_spark import spec
 from dataquality_spark.models import langid, ngram_lm
 from dataquality_spark.models.udf import with_model_scores_and_scrub
-from dataquality_spark.operators.dedup import with_dedup_flag
 from dataquality_spark.rules.heuristics import rule_metrics, with_rule_flags
 
 PIPELINE_RULES = spec.ALL_RULES + ["dedup"]
@@ -173,15 +172,21 @@ def pipeline_metrics(annotated: DataFrame) -> DataFrame:
     return rule_metrics(annotated, rules)
 
 
-def metrics_from_decisions(decisions: DataFrame) -> DataFrame:
+def metrics_from_decisions(decisions: DataFrame,
+                           group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Same rule_metrics schema, computed from a written decisions table's
     `rules` map — lets callers that already materialized decisions get
-    metrics without re-running the dedup join (one cheap scan + agg)."""
-    exploded = decisions.select(F.explode("rules").alias("rule_id", "passed"))
-    return (exploded.groupBy("rule_id").agg(
+    metrics without re-running the dedup join (one cheap scan + agg).
+    ``group_cols`` prepends grouping keys (e.g. the checkpoint chunk) so
+    the per-chunk lineage metrics use THIS definition of score rather than
+    re-implementing it."""
+    gc = list(group_cols)
+    exploded = decisions.select(
+        *gc, F.explode("rules").alias("rule_id", "passed"))
+    return (exploded.groupBy(*gc, "rule_id").agg(
         F.count(F.when(F.col("passed"), 1)).alias("pass_count"),
         F.count(F.when(~F.col("passed"), 1)).alias("fail_count"))
-        .select("rule_id", "pass_count", "fail_count",
+        .select(*gc, "rule_id", "pass_count", "fail_count",
                 F.when((F.col("pass_count") + F.col("fail_count")) > 0,
                        F.round(F.col("pass_count")
                                / (F.col("pass_count") + F.col("fail_count")), 6))

@@ -96,3 +96,27 @@ def test_single_input_pass_and_no_cache_leak(spark, artifacts, tmp_path,
     assert len(calls) == 1
     after = dict(spark.sparkContext._jsc.getPersistentRDDs())
     assert len(after) <= len(before)
+
+
+def test_resume_rejects_mismatched_n_chunks(spark, tmp_path):
+    from dataquality_spark import checkpoint as C
+    pages = generate_pages(spark, 120, seed=9, partitions=2)
+    out = str(tmp_path / "run")
+    C.run_checkpointed(spark, pages, out, n_chunks=4)
+    with pytest.raises(ValueError, match="n_chunks=8 does not match"):
+        C.run_checkpointed(spark, pages, out, n_chunks=8)
+
+
+def test_empty_input_commits_zero_row_states(spark, tmp_path):
+    """Regression: a first run whose todo chunks produced zero rows used to
+    crash on the unreadable empty data dir and wedge resume forever."""
+    from dataquality_spark import checkpoint as C
+    pages = generate_pages(spark, 100, seed=3, partitions=2).where("1=0")
+    out = str(tmp_path / "run")
+    summary = C.run_checkpointed(spark, pages, out, n_chunks=3)
+    assert summary["completed"] == [0, 1, 2]
+    for row in C.lineage(out):
+        assert row["rows_in"] == 0 and row["rows_kept"] == 0
+    # and the resume is a clean no-op
+    again = C.run_checkpointed(spark, pages, out, n_chunks=3)
+    assert again == {"processed": [], "completed": [0, 1, 2]}

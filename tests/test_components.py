@@ -194,3 +194,52 @@ def test_pack_sequences_chunks(spark):
         4: (1100, 1, 76),
         5: (2600, 2, 552),
     }
+
+
+def test_fuzzy_dedup_nondefault_text_col(spark):
+    """Regression: the default winner policy must derive from THIS call's
+    text_col — canonical_winners' own default hardcodes 'text' and used to
+    crash (UNRESOLVED_COLUMN) for any other column name."""
+    from tests.test_dedup import BODY
+    from dataquality_spark.operators.components import fuzzy_dedup
+    rows = [(1, BODY + " longer tail here"), (2, BODY),
+            (3, "unrelated filler " * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    out = fuzzy_dedup(df, id_col="doc_id", text_col="body",
+                      jaccard_threshold=0.5).toPandas()
+    comp = out.set_index("doc_id")["component"]
+    assert comp[1] == comp[2] != comp[3]
+    # longest body wins within the near-dup component
+    winners = set(out[out["is_winner"]]["doc_id"])
+    assert 1 in winners and 2 not in winners and 3 in winners
+
+
+def test_global_offset_empty_frame(spark):
+    """Regression: empty input used to fail analysis (bare create_map() is
+    map<void,void> and cannot be indexed by the int partition id)."""
+    from dataquality_spark.operators.packing import pack_sequences
+    df = (spark.createDataFrame([(1, 5)], "doc_id long, n_tokens long")
+          .where("n_tokens < 0"))
+    out = pack_sequences(df, ctx_len=16)
+    assert out.count() == 0
+    assert {"offset", "chunk_id", "chunk_pos"} <= set(out.columns)
+
+
+def test_global_offset_persists_one_partitioning(spark):
+    """The range-partitioned frame must be persisted: the totals collect and
+    the caller's action are separate jobs whose RangePartitioners re-sample
+    boundaries independently — the cache pins one materialized partitioning
+    (cleanup contract returns the handle)."""
+    from dataquality_spark.operators.packing import with_global_offset
+    rows = [(i, (i * 7) % 13 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    cleanup = []
+    out = with_global_offset(df, "n_tokens", ["doc_id"], cleanup=cleanup)
+    assert len(cleanup) == 1 and cleanup[0].is_cached
+    got = {r["doc_id"]: r["offset"] for r in out.collect()}
+    acc = 0
+    for i in range(500):
+        assert got[i] == acc
+        acc += (i * 7) % 13 + 1
+    for f in cleanup:
+        f.unpersist()
