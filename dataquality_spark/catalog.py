@@ -98,7 +98,12 @@ class ManifestCatalog:
         sid = snapshot_id or man["current"]
         if sid is None:
             raise FileNotFoundError(f"table {name} has no snapshots")
-        snap = next(s for s in man["snapshots"] if s["id"] == sid)
+        snap = next((s for s in man["snapshots"] if s["id"] == sid), None)
+        if snap is None:
+            # bare next() would raise StopIteration (→ RuntimeError inside
+            # generators per PEP 479) for unknown or already-expired ids
+            raise FileNotFoundError(
+                f"table {name} has no snapshot {sid!r} (unknown or expired)")
         return spark.read.parquet(*snap["data_dirs"])
 
     def snapshots(self, name: str) -> list[dict]:
@@ -114,9 +119,11 @@ class ManifestCatalog:
         ``keep_last`` snapshots and delete data directories no kept snapshot
         references (append-chain snapshots share dirs, so reachability is
         computed over the survivors, never per-snapshot). Returns the
-        deleted directories. Metadata commit happens AFTER the file deletes
-        it describes — a crash mid-expire leaves extra files, never a
-        manifest pointing at missing data."""
+        deleted directories. The pruned manifest commits BEFORE any file
+        delete — the Iceberg order: a crash mid-expire leaves orphan data
+        files (harmless, re-collectable), never a manifest pointing at
+        missing data. (The previous delete-then-commit order had exactly
+        the failure its docstring claimed to prevent.)"""
         import shutil
         if keep_last < 1:
             # snapshots[-0:] would silently keep EVERYTHING; a table must
@@ -126,14 +133,15 @@ class ManifestCatalog:
         if len(man["snapshots"]) <= keep_last:
             return []
         kept = man["snapshots"][-keep_last:]
+        expired = man["snapshots"][:-keep_last]
+        man["snapshots"] = kept
+        self._store_manifest(name, man)  # commit FIRST, then delete
         referenced = {d for s in kept for d in s["data_dirs"]}
         removed = []
-        for snap in man["snapshots"][:-keep_last]:
+        for snap in expired:
             for d in snap["data_dirs"]:
                 if d not in referenced and os.path.isdir(d):
                     shutil.rmtree(d)
                     removed.append(d)
                     referenced.add(d)  # rmtree once even if shared upstream
-        man["snapshots"] = kept
-        self._store_manifest(name, man)
         return removed

@@ -7,9 +7,10 @@ Design: the heavy pass (contingency table / grouped moments) runs
 distributed as ONE aggregation; the final scalar statistic folds the tiny
 result on the driver. No per-row Python.
 
-Public formulas: Cramér's V with the Bergsma–Wicher bias correction option
-off by default (dython's default `bias_correction=True`; we expose both),
-correlation ratio η (nominal→numeric) as in dython's `correlation_ratio`.
+Public formulas: Cramér's V with the Bergsma–Wicher bias correction
+(defaulting to ``bias_correction=True``, matching dython's default; pass
+False for the uncorrected statistic), correlation ratio η
+(nominal→numeric) as in dython's `correlation_ratio`.
 """
 
 from __future__ import annotations
@@ -32,9 +33,16 @@ def _fold_cramers(cells: list[tuple], bias_correction: bool) -> float:
         c_tot[b] = c_tot.get(b, 0) + c
         n += c
     chi2 = 0.0
+    e_seen = 0.0
     for a, b, c in cells:
         expected = r_tot[a] * c_tot[b] / n
         chi2 += (c - expected) ** 2 / expected
+        e_seen += expected
+    # zero-count cells never appear in a groupBy result but still
+    # contribute (0 - E)^2 / E = E to chi-square; their total is
+    # n - sum(E over observed cells). Omitting them understates V on any
+    # sparse table (e.g. perfect association gives 0.707 instead of 1.0).
+    chi2 += max(0.0, n - e_seen)
     r, k = len(r_tot), len(c_tot)
     if min(r, k) == 1:
         return 0.0
@@ -105,7 +113,13 @@ def iqr_group_score(df: DataFrame, group_col: str, value_col: str,
 
     Two shuffles on the same key (quantile agg + broadcast-join + final agg);
     the quantile table is tiny (one row per group) and broadcast.
+
+    Rows with a NULL value are excluded up front, so a group whose values
+    are ALL null is absent from n_groups AND the score — previously it was
+    counted by n_groups but silently skipped by avg(), making
+    a2_score ≠ n_passing / n_groups.
     """
+    df = df.where(F.col(value_col).isNotNull())
     q = df.groupBy(group_col).agg(
         F.percentile(value_col, F.lit(0.25)).alias("_q1"),
         F.percentile(value_col, F.lit(0.75)).alias("_q3"))

@@ -32,22 +32,44 @@ from pyspark.sql import functions as F
 from dataquality_spark.models.corpus import mix64
 
 
+_TOPK_SCHEMA = "query_id long, neighbor_id long, cos_sim double, rn int"
+
+
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str
                      ) -> tuple[np.ndarray, np.ndarray]:
-    rows = queries.select(id_col, vec_col).collect()
+    rows = (queries.select(id_col, vec_col)
+            .where(F.col(vec_col).isNotNull()).collect())
+    if not rows:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 1))
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     Q = np.array([r[1] for r in rows], dtype=np.float64)
     Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     return qids, Q
 
 
+def _vec_guard(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Drop null and wrong-length vectors BEFORE any numpy UDF — a single
+    ragged row turns np.array into dtype=object and fails the whole job."""
+    return df.where(F.col(vec_col).isNotNull()
+                    & (F.size(vec_col) == dim))
+
+
 def cosine_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                 k: int = 10, id_col: str = "vec_id",
-                vec_col: str = "embedding", qid_col: str | None = None
-                ) -> DataFrame:
-    """Exact top-k neighbors per query: (query_id, neighbor_id, cos_sim, rn)."""
+                vec_col: str = "embedding", qid_col: str | None = None,
+                exclude_self: bool = False) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cos_sim, rn).
+
+    ``exclude_self=True`` drops neighbor_id == query_id rows before ranking
+    — use it when queries are drawn from the corpus and you are comparing
+    against the ANN paths (`cosine_topk_lsh`/`ivf_topk` always exclude
+    self-matches); the default keeps the historical include-self contract
+    the exact oracle checks."""
     qid_col = qid_col or id_col
     qids, Q = _collect_queries(queries, qid_col, vec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    corpus = _vec_guard(corpus, vec_col, Q.shape[1])
     b_q = spark.sparkContext.broadcast((qids, Q))
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -70,6 +92,8 @@ def cosine_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
         local_topk, "query_id long, neighbor_id long, cos_sim double")
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id"))
     return (cand.withColumn("rn", F.row_number().over(w))
@@ -163,7 +187,12 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
     from pyspark import StorageLevel
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.where(F.col(vec_col).isNotNull()).select(vec_col).head(1)
+        if not head:  # empty / all-null input: no pairs, don't crash first()
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, cos_sim double")
+        dim = len(head[0][0])
+    df = _vec_guard(df, vec_col, dim)
     buckets = _band_bucket_udf(spark, dim, bands, band_bits, seed)
     base = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
             .withColumn("_bkeys", buckets(F.col("_v")))
@@ -206,21 +235,32 @@ def cosine_topk_lsh(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                     dim: int | None = None, seed: int = 42) -> DataFrame:
     """Approximate top-k via hyperplane-LSH buckets + exact re-rank.
 
-    ``probes`` > 0 adds all buckets within that Hamming distance of each
-    query's bucket (multi-probe), trading candidates for recall.
+    ``probes`` is the multi-probe Hamming RADIUS: all buckets within that
+    many bit flips of each query's bucket are probed (probes=1 → n_planes
+    extra buckets, probes=2 adds the C(n_planes,2) two-bit flips, …),
+    trading candidates for recall.
     """
     if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+        head = (queries.where(F.col(vec_col).isNotNull())
+                .select(vec_col).head(1))
+        if not head:
+            return spark.createDataFrame([], _TOPK_SCHEMA)
+        dim = len(head[0][0])
+    corpus = _vec_guard(corpus, vec_col, dim)
+    queries = _vec_guard(queries, vec_col, dim)
     bucket = _bucket_udf(spark, dim, n_planes, seed)
     c = corpus.withColumn("_bucket", bucket(F.col(vec_col)))
     q = queries.withColumn("_bucket", bucket(F.col(vec_col)))
 
-    # multi-probe expansion: query bucket ± each 1-bit flip (probes=1)
+    # multi-probe expansion: every XOR mask of popcount ≤ probes
+    import itertools
     probe_cols = [F.col("_bucket")]
-    if probes >= 1:
-        probe_cols += [
-            F.col("_bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
-        ]
+    for r in range(1, min(probes, n_planes) + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            mask = 0
+            for j in combo:
+                mask |= 1 << j
+            probe_cols.append(F.col("_bucket").bitwiseXOR(F.lit(mask)))
     q_probes = q.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
@@ -268,8 +308,12 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int = 64,
     At 100 TB the sample stays a few thousand rows (a `sort+limit` Spark can
     satisfy with a top-k per partition), and training is seconds of numpy on
     the driver; the expensive part — assignment — is distributed."""
-    rows = (corpus.select(id_col, vec_col).orderBy(id_col)
-            .limit(sample).collect())
+    rows = (corpus.select(id_col, vec_col)
+            .where(F.col(vec_col).isNotNull())
+            .orderBy(id_col).limit(sample).collect())
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty/all-null "
+                         "embedding corpus")
     X = np.array([r[1] for r in rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     order = np.argsort(mix64(np.arange(len(X), dtype=np.uint64)
@@ -320,9 +364,12 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_cells,
                                         id_col=id_col, vec_col=vec_col)
+    corpus = _vec_guard(corpus, vec_col, centroids.shape[1])
     c = with_ivf_cell(spark, corpus, centroids, vec_col)
 
     qids, Q = _collect_queries(queries, id_col, vec_col)
+    if len(qids) == 0:
+        return spark.createDataFrame([], _TOPK_SCHEMA)
     sims = Q @ centroids.T                                   # [nq, cells]
     probe = np.argsort(-sims, axis=1)[:, :nprobe]            # [nq, nprobe]
     q_probes = spark.createDataFrame(

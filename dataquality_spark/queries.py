@@ -924,16 +924,18 @@ def q_iqr_group_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_IQR_GROUP_SCORE = """
-WITH q AS (
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), q AS (
   SELECT event_type,
          quantile_cont(value, 0.25) AS q1,
          quantile_cont(value, 0.75) AS q3
-  FROM events GROUP BY 1
+  FROM ev GROUP BY 1
 ), g AS (
   SELECT e.event_type,
          1.0 - avg((e.value < q.q1 - 1.5 * (q.q3 - q.q1)
                     OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))::int) AS gscore
-  FROM events e JOIN q USING (event_type) GROUP BY 1
+  FROM ev e JOIN q USING (event_type) GROUP BY 1
 )
 SELECT count(*)::bigint AS n_groups,
        sum((gscore > 0.85)::int)::bigint AS n_passing,
@@ -1027,8 +1029,12 @@ WITH c AS (
 ), rt AS (SELECT a, sum(cnt) AS rn FROM c GROUP BY 1),
    ct AS (SELECT b, sum(cnt) AS cn FROM c GROUP BY 1),
 chi AS (
+  -- observed-cell terms PLUS the zero-count cells' mass: every absent
+  -- cell contributes (0-E)^2/E = E, and sum(E over all cells) = n, so
+  -- the absent total is n - sum(E over observed cells)
   SELECT sum(pow(c.cnt - rt.rn * ct.cn / tot.n, 2)
-             / (rt.rn * ct.cn / tot.n)) AS chi2
+             / (rt.rn * ct.cn / tot.n))
+         + greatest(max(tot.n) - sum(rt.rn * ct.cn / tot.n), 0) AS chi2
   FROM c JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
 ), v AS (
   SELECT CASE

@@ -70,10 +70,10 @@ def stream_decisions_query(spark: SparkSession, input_dir: str,
     Stateless stages only; the batch compactor finalizes ``keep``
     (module docstring)."""
     flagged = stream_flagged(spark, input_dir)
-    gate = F.lit(True)
-    for r in spec.HEURISTIC_RULES:
-        gate = gate & F.col(f"r_{r}")
-    dec = flagged.withColumn("pre_dedup_pass", gate).select(
+    # with_rule_flags already appends the canonical conjunction — reusing
+    # it keeps the streaming gate definitionally identical to batch
+    dec = flagged.withColumn("pre_dedup_pass",
+                             F.col("heuristic_pass")).select(
         "url", "warc_ts", "pre_dedup_pass",
         *[f"r_{r}" for r in spec.HEURISTIC_RULES])
     return (dec.writeStream.outputMode("append")
@@ -93,10 +93,7 @@ def stream_windowed_metrics_query(spark: SparkSession, input_dir: str,
     late-data shape at crawl scale (update mode + memory sink here; Iceberg
     sink on a cluster)."""
     flagged = stream_flagged(spark, input_dir)
-    gate = F.lit(True)
-    for r in spec.HEURISTIC_RULES:
-        gate = gate & F.col(f"r_{r}")
-    agg = (flagged.withColumn("pass", gate)
+    agg = (flagged.withColumn("pass", F.col("heuristic_pass"))
            .withWatermark("warc_ts", watermark)
            .groupBy(F.window("warc_ts", window).alias("w"))
            .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -172,12 +169,9 @@ def stream_host_reputation_query(spark: SparkSession, input_dir: str,
     groupBy shuffle is the same keyed exchange the batch dedup pays."""
     from pyspark.sql.streaming.state import GroupStateTimeout
     flagged = stream_flagged(spark, input_dir)
-    gate = F.lit(True)
-    for r in spec.HEURISTIC_RULES:
-        gate = gate & F.col(f"r_{r}")
     per_doc = flagged.select(
         F.lower(F.regexp_extract("url", _HOST_RE, 1)).alias("host"),
-        gate.alias("doc_pass"))
+        F.col("heuristic_pass").alias("doc_pass"))
     status = per_doc.groupBy("host").applyInPandasWithState(
         _reputation_fn(min_docs, max_fail_rate),
         outputStructType=REPUTATION_OUTPUT,

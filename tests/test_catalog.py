@@ -75,3 +75,46 @@ def test_expire_snapshots_rejects_keep_last_zero(spark, tmp_path):
     cat.write(spark.createDataFrame(pd.DataFrame({"x": [1]})), "t")
     with pytest.raises(ValueError, match="keep_last"):
         cat.expire_snapshots("t", keep_last=0)
+
+
+def test_read_unknown_or_expired_snapshot_raises_clearly(spark, tmp_path):
+    import pytest as _pytest
+    from dataquality_spark.catalog import ManifestCatalog
+    cat = ManifestCatalog(str(tmp_path))
+    df = spark.range(3).toDF("x")
+    cat.write(df, "t")
+    sid0 = cat.snapshots("t")[0]["id"]
+    cat.write(df.withColumn("x", df.x + 1), "t", mode="overwrite")
+    with _pytest.raises(FileNotFoundError, match="no snapshot"):
+        cat.read(spark, "t", snapshot_id="nope")
+    cat.expire_snapshots("t", keep_last=1)
+    with _pytest.raises(FileNotFoundError, match="unknown or expired"):
+        cat.read(spark, "t", snapshot_id=sid0)
+
+
+def test_expire_commits_manifest_before_deleting(spark, tmp_path, monkeypatch):
+    """The Iceberg order: a crash during the file deletes must leave a
+    manifest that references only surviving data (orphan files are fine,
+    dangling manifests are not)."""
+    import shutil as _shutil
+    from dataquality_spark.catalog import ManifestCatalog
+    cat = ManifestCatalog(str(tmp_path))
+    df = spark.range(3).toDF("x")
+    cat.write(df, "t")
+    cat.write(df, "t", mode="overwrite")
+
+    real_rmtree = _shutil.rmtree
+
+    def boom(path, *a, **k):
+        raise OSError("simulated crash mid-delete")
+
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    try:
+        cat.expire_snapshots("t", keep_last=1)
+    except OSError:
+        pass
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+    # manifest already pruned: every listed snapshot's data is readable
+    for s in cat.snapshots("t"):
+        assert cat.read(spark, "t", snapshot_id=s["id"]).count() == 3
+    assert len(cat.snapshots("t")) == 1

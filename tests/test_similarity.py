@@ -191,3 +191,35 @@ def test_ivf_centroids_deterministic(spark, emb):
     c2 = train_ivf_centroids(emb.repartition(7), n_cells=8, sample=200,
                              seed=13)
     assert np.array_equal(c1, c2)  # invariant to input partitioning
+
+
+def test_lsh_probes_radius_two_expands_candidates(spark):
+    """Regression: probes used to silently behave as 1 for any value >= 1;
+    radius-2 multi-probe must reach buckets two bit-flips away."""
+    from dataquality_spark.operators.similarity import cosine_topk_lsh
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    r1 = (cosine_topk_lsh(spark, emb, queries, k=10, n_planes=8, probes=1)
+          .count())
+    r2 = (cosine_topk_lsh(spark, emb, queries, k=10, n_planes=8, probes=2)
+          .count())
+    assert r2 >= r1  # never fewer results with a wider probe radius
+
+
+def test_embedding_ops_null_and_empty_guards(spark):
+    """Regression: empty or null-bearing embedding frames used to crash in
+    first()[0] / ragged np.array instead of degrading gracefully."""
+    from dataquality_spark.operators.similarity import (
+        cosine_topk, cosine_topk_lsh, embedding_near_dup_pairs)
+    empty = (spark.read.parquet(f"{SF}/embeddings.parquet")
+             .where("vec_id < 0"))
+    assert embedding_near_dup_pairs(spark, empty).count() == 0
+    assert cosine_topk_lsh(spark, empty, empty).count() == 0
+    assert cosine_topk(spark, empty, empty).count() == 0
+    # a null vector among valid rows is dropped, not fatal
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(20)
+    nulled = emb.selectExpr(
+        "vec_id", "CASE WHEN vec_id % 7 = 0 THEN NULL ELSE embedding END "
+        "AS embedding", "label")
+    out = embedding_near_dup_pairs(spark, nulled)
+    out.count()  # must not raise

@@ -83,3 +83,27 @@ def test_association_matrix(data):
         pdf["num"].corr(pdf["other"]), abs=1e-9)
     assert set(m) == {("num", "other"), ("cat", "dep"), ("cat", "num"),
                       ("cat", "other"), ("dep", "num"), ("dep", "other")}
+
+
+def test_cramers_v_sparse_table_perfect_association(spark):
+    """Regression: zero-count contingency cells must contribute their
+    expected mass to chi-square — perfect association on a diagonal table
+    used to return ~0.707 instead of 1.0."""
+    from dataquality_spark.functions.stats import cramers_v
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    assert abs(cramers_v(df, "c1", "c2", bias_correction=False) - 1.0) < 1e-12
+
+
+def test_iqr_group_score_all_null_group_excluded(spark):
+    """Regression: a group whose values are ALL null must be absent from
+    n_groups AND the score (it used to inflate n_groups while avg()
+    silently skipped it, breaking a2_score == n_passing / n_groups)."""
+    from dataquality_spark.functions.stats import iqr_group_score
+    rows = ([("g1", float(v)) for v in range(10)]
+            + [("g2", float(v)) for v in range(10)]
+            + [("g3", None)] * 4)
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = iqr_group_score(df, "g", "v").collect()[0]
+    assert r["n_groups"] == 2
+    assert r["a2_score"] == round(r["n_passing"] / r["n_groups"], 6)
