@@ -294,10 +294,17 @@ def canonical_url(url):
             .when(scheme == "https",
                   F.regexp_replace(host, r":443$", "")) \
             .otherwise(host)
+    # three-step tracking-param removal with NO blanket '&'→'?' promotion
+    # (the old promotion fired on query-less paths containing a literal
+    # '&', corrupting '/p&a' into '/p?a'): non-first params go first, then
+    # a leading param with a successor keeps its '?', then a lone one
+    # drops it
     rest = F.regexp_replace(
-        rest, r"[?&](utm_[^=&]*|gclid|fbclid)=[^&]*", "")
-    # if the leading '?' param was removed, promote the first '&' to '?'
-    rest = F.regexp_replace(rest, r"^([^?&]*)&", r"$1?")
+        rest, r"&(utm_[^=&]*|gclid|fbclid)=[^&]*", "")
+    rest = F.regexp_replace(
+        rest, r"\?(utm_[^=&]*|gclid|fbclid)=[^&]*&", "?")
+    rest = F.regexp_replace(
+        rest, r"\?(utm_[^=&]*|gclid|fbclid)=[^&]*$", "")
     rest = F.regexp_replace(rest, r"[?&]+$", "")   # dangling separator
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.when(scheme == "", u).otherwise(

@@ -48,7 +48,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
           .withColumn("_src", F.lit(1))
           .withColumn("_pay", F.lit(None).cast(
               right.select(payload.alias("_pay")).schema["_pay"].dataType)))
-    ru = (right.where(F.col(right_time).isNotNull())
+    # NULL-key right rows can never match under equi-key semantics, but the
+    # window's partitionBy groups NULL with NULL — drop them so a NULL-key
+    # left row gets NULL values (as DuckDB ASOF / any SQL equi-join would),
+    # not the latest NULL-key right row
+    ru = (right.where(F.col(right_time).isNotNull()
+                      & F.col(on).isNotNull())
           .select(F.col(on), F.col(right_time).alias("_t"),
                   F.lit(0).alias("_src"), payload.alias("_pay")))
     for c in lcols:

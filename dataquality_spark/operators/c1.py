@@ -160,13 +160,22 @@ def c1_best_match(df: DataFrame, id_col: str = "url", text_col: str = "text",
     sa = remove_short_numbers(F.col("norm_a"))
     sb = remove_short_numbers(F.col("norm_b"))
     if rescue_score == "difflib":
-        rescued = seq_ratio_udf()(sa, sb)
+        # score ONLY the rescue survivors and union the rest back: Catalyst
+        # hoists pandas UDFs out of CASE WHEN into an ArrowEvalPython node
+        # that runs on EVERY input row, so the when()-guarded spelling
+        # silently paid the quadratic SequenceMatcher on the non-short
+        # majority too
+        shorts = (p.where("_short")
+                  .withColumn("score", seq_ratio_udf()(sa, sb)))
+        rest = p.where("NOT _short").withColumn("score", F.col("sim"))
+        p = shorts.unionByName(rest)
     elif rescue_score == "lev":
+        # native expression: codegen'd, conditional evaluation is free
         rescued = TX.levenshtein_ratio(sa, sb)
+        p = p.withColumn(
+            "score", F.when(F.col("_short"), rescued).otherwise(F.col("sim")))
     else:
         raise ValueError(f"unknown rescue_score {rescue_score!r}")
-    p = p.withColumn(
-        "score", F.when(F.col("_short"), rescued).otherwise(F.col("sim")))
     w = Window.partitionBy("id_a").orderBy(F.desc("score"), F.asc("id_b"))
     return (p.withColumn("_rn", F.row_number().over(w))
             .where((F.col("_rn") == 1) & (F.col("score") > threshold))

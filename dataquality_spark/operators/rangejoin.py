@@ -28,8 +28,12 @@ def range_join(points: DataFrame, intervals: DataFrame,
         "_bin", F.floor(F.col(point_col) / bin_width).cast("long"))
     lo = F.floor(F.col(start_col) / bin_width).cast("long")
     hi = F.floor(F.col(end_col) / bin_width).cast("long")
-    i = intervals.withColumn(
-        "_bin", F.explode(F.sequence(lo, hi)))
+    # inverted intervals (end < start) can match nothing, but sequence(lo,
+    # hi) with hi < lo counts DOWN (wasted candidates) and one badly
+    # inverted row can demand a billion-element array and kill the job —
+    # drop them before the explode
+    i = (intervals.where(F.col(start_col) <= F.col(end_col))
+         .withColumn("_bin", F.explode(F.sequence(lo, hi))))
     return (p.join(i, "_bin")
             .where((F.col(start_col) <= F.col(point_col))
                    & (F.col(point_col) < F.col(end_col)))

@@ -1381,9 +1381,11 @@ WITH m AS (
          regexp_replace(
            regexp_replace(
              regexp_replace(
-               regexp_replace(rest, '[?&](utm_[^=&]*|gclid|fbclid)=[^&]*',
-                              '', 'g'),
-               '^([^?&]*)&', '\1?'),
+               regexp_replace(
+                 regexp_replace(rest, '&(utm_[^=&]*|gclid|fbclid)=[^&]*',
+                                '', 'g'),
+                 '\?(utm_[^=&]*|gclid|fbclid)=[^&]*&', '?'),
+               '\?(utm_[^=&]*|gclid|fbclid)=[^&]*$', ''),
              '[?&]+$', ''),
            '/+$', '') AS rest, u
   FROM parts

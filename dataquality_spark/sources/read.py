@@ -34,8 +34,14 @@ _CP1252_CHARS = bytes(_CP1252_DEFINED).decode("cp1252")
 
 
 def _is_utf8(path: str) -> bool:
-    with open(path, "rb") as f:
-        head = f.read(_PROBE_BYTES)
+    try:
+        with open(path, "rb") as f:
+            head = f.read(_PROBE_BYTES)
+    except OSError:
+        # non-local URI (s3a://…) or a directory of part files — both are
+        # things spark.read.csv handles itself; assume utf-8 and let the
+        # distributed read decide rather than crashing on a driver open()
+        return True
     try:
         head.decode("utf-8")
         return True

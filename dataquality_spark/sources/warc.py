@@ -12,8 +12,10 @@ Distribution model: one WARC file = one unit of work. ``spark.read.format
 stage parses each file's records — file-level parallelism, the standard
 first-cut for WARC on Spark (a 100 TB crawl is ~80k files of ~1 GB; with
 1000 executors that is ~80 waves, and no intra-file split logic — gzip
-members are not seekable without an index). The parser is a streaming
-zlib decompressor: it never materializes more than one record's payload.
+members are not seekable without an index; binaryFile materializes the
+COMPRESSED bytes per task — that part is inherent to the source). The
+parser is a streaming zlib decompressor over a bounded buffer: peak
+memory is compressed-input + one record, never the decompressed file.
 
 Only ``response`` records become pages; the HTTP header block inside the
 payload is split off so ``html`` is the raw body bytes. ``url`` comes from
@@ -22,7 +24,6 @@ payload is split off so ``html`` is the raw body bytes. ``url`` comes from
 
 from __future__ import annotations
 
-import io
 import zlib
 from datetime import datetime, timezone
 from typing import Iterator
@@ -46,36 +47,75 @@ def _parse_header(block: bytes) -> dict[str, str]:
     return headers
 
 
+_GZ_STEP = 1 << 20  # 1 MiB compressed feed per decompress call
+
+
+def _gzip_chunks(raw: bytes, step: int | None = None) -> Iterator[bytes]:
+    """Decompressed chunks of a (possibly multi-member) gzip stream,
+    feeding ``step`` compressed bytes at a time — the decompressed file is
+    NEVER materialized whole. ``step`` resolves from the module var at
+    call time (tests shrink it to force boundary splits)."""
+    step = step or _GZ_STEP
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    pos = 0
+    while pos < len(raw):
+        data = raw[pos:pos + step]
+        pos += step
+        while data:
+            out = d.decompress(data)
+            if out:
+                yield out
+            data = d.unused_data  # next gzip member starts here
+            if data:
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+
+
 def iter_warc_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
     """(headers, payload) per record from WARC bytes — gzipped (single- or
-    multi-member) or plain. Streaming: decompresses incrementally."""
-    if raw[:2] == b"\x1f\x8b":
-        data = io.BytesIO()
-        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        buf = raw
-        while buf:
-            data.write(d.decompress(buf))
-            buf = d.unused_data  # next gzip member starts here
-            if buf:
-                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            elif not d.eof:
+    multi-member) or plain. TRULY streaming: records are parsed off the
+    front of a bounded buffer as members decompress, so peak memory is the
+    compressed input (materialized by binaryFile upstream) plus one record
+    plus one decompression chunk — never the ~4-5× decompressed file (the
+    earlier BytesIO form buffered the whole decompressed archive, which is
+    executor-OOM territory for a 1 GB Common-Crawl .warc.gz)."""
+    chunks = _gzip_chunks(raw) if raw[:2] == b"\x1f\x8b" else iter((raw,))
+    buf = bytearray()
+    done = False
+
+    def drain(final: bool) -> list[tuple[dict[str, str], bytes]]:
+        nonlocal done
+        out: list[tuple[dict[str, str], bytes]] = []
+        while not done:
+            while buf[:2] == b"\r\n":  # inter-record CRLFs
+                del buf[:2]
+            if len(buf) < 5:
+                done = done or final
                 break
-        raw = data.getvalue()
-    pos, n = 0, len(raw)
-    while pos < n:
-        # skip inter-record CRLFs
-        while raw[pos:pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n or not raw[pos:pos + 5] == b"WARC/":
-            break
-        hdr_end = raw.find(_CRLF2, pos)
-        if hdr_end < 0:
-            break
-        headers = _parse_header(raw[pos:hdr_end])
-        length = int(headers.get("content-length", "0"))
-        body_start = hdr_end + 4
-        yield headers, raw[body_start:body_start + length]
-        pos = body_start + length
+            if bytes(buf[:5]) != b"WARC/":
+                done = True  # trailing junk: stop (same as the old parser)
+                break
+            hdr_end = buf.find(_CRLF2)
+            if hdr_end < 0:
+                done = done or final
+                break
+            headers = _parse_header(bytes(buf[:hdr_end]))
+            length = int(headers.get("content-length", "0"))
+            total = hdr_end + 4 + length
+            if len(buf) < total:
+                if final:  # truncated final record: yield what exists
+                    out.append((headers, bytes(buf[hdr_end + 4:])))
+                    done = True
+                break
+            out.append((headers, bytes(buf[hdr_end + 4:total])))
+            del buf[:total]
+        return out
+
+    for chunk in chunks:
+        buf += chunk
+        yield from drain(False)
+        if done:
+            return
+    yield from drain(True)
 
 
 def _split_http_payload(payload: bytes) -> bytes:

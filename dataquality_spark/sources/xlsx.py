@@ -102,7 +102,10 @@ def read_xlsx_pdf(path: str) -> pd.DataFrame:
                 row[ci] = strings[int(raw)]
             elif t == "b":
                 row[ci] = bool(int(raw))
-            elif t in ("inlineStr", "str"):
+            elif t in ("inlineStr", "str", "e", "d"):
+                # "e" = formula-error cells (#DIV/0! …), "d" = ISO dates —
+                # both carry non-numeric text; float() on them crashed the
+                # whole read where pd.read_excel keeps the string
                 row[ci] = raw
             else:  # numeric
                 row[ci] = float(raw)
@@ -178,7 +181,8 @@ def _workbook_xml(sheet_name: str) -> str:
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<workbook xmlns="{_MAIN_NS}" xmlns:r="{_REL_NS}">'
-        f'<sheets><sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        f'<sheets><sheet name="{escape(sheet_name, {chr(34): "&quot;"})}"'
+        ' sheetId="1" r:id="rId1"/>'
         "</sheets></workbook>"
     )
 

@@ -243,3 +243,18 @@ def test_global_offset_persists_one_partitioning(spark):
         acc += (i * 7) % 13 + 1
     for f in cleanup:
         f.unpersist()
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Regression: NULL equality keys used to match each other through the
+    window partition — ASOF/equi-join semantics say NULL matches nothing."""
+    from dataquality_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [(None, 5), ("k", 5)], "k string, t int")
+    right = spark.createDataFrame(
+        [(None, 1, 9.0), ("k", 1, 7.0)], "k string, t int, v double")
+    out = {(r["k"],): r["v"] for r in
+           asof_join(left, right, on="k", left_time="t", right_time="t",
+                     value_cols=["v"]).collect()}
+    assert out[("k",)] == 7.0
+    assert out[(None,)] is None

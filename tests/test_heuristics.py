@@ -144,3 +144,21 @@ def test_canonical_url_cases(spark):
     got = {r["u"]: r["c"] for r in
            df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
     assert got == cases
+
+
+def test_canonical_url_literal_ampersand_path_preserved(spark):
+    """Regression: the old blanket '&'→'?' promotion corrupted query-less
+    URLs whose path contains a literal '&'."""
+    from pyspark.sql import functions as F
+    from dataquality_spark.functions.text import canonical_url
+    cases = {
+        "https://ex.com/p&weird": "https://ex.com/p&weird",
+        "https://ex.com/a?utm_x=1": "https://ex.com/a",
+        "https://ex.com/a?utm_x=1&b=2": "https://ex.com/a?b=2",
+        "https://ex.com/a?b=2&utm_x=1": "https://ex.com/a?b=2",
+        "https://ex.com/a?utm_a=1&utm_b=2&x=3": "https://ex.com/a?x=3",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {r["u"]: r["c"] for r in
+           df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
+    assert got == cases

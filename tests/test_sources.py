@@ -236,3 +236,63 @@ def test_write_zordered_prunes_both_dims(spark, tmp_path):
     # each slice intersects a minority of tiles on BOTH dimensions (a
     # 1-D x-sort would put y<32 rows in every file)
     assert fx <= n_files // 2 and fy <= n_files // 2
+
+
+def test_warc_streaming_parse_with_tiny_chunks():
+    """The incremental parser must produce identical records regardless of
+    where decompression chunk boundaries fall (records split across
+    chunks, headers split mid-line, multi-member gzip)."""
+    from dataquality_spark.sources import warc as W
+    recs = [(f"http://h/{i}", "2024-01-02T03:04:05Z",
+             (f"<html>{'x' * (50 + 37 * i)}</html>").encode())
+            for i in range(12)]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.warc.gz")
+    W.write_warc(recs, p)
+    raw = open(p, "rb").read()
+    want = list(W.iter_warc_records(raw))
+    # force pathological chunking: 7-byte compressed feeds so records and
+    # headers split across every boundary
+    old = W._GZ_STEP
+    try:
+        W._GZ_STEP = 7
+        got = list(W.iter_warc_records(raw))
+    finally:
+        W._GZ_STEP = old
+    assert len(want) == len(got) == 12
+    for (h1, p1), (h2, p2) in zip(want, got):
+        assert h1 == h2 and p1 == p2
+
+
+def test_xlsx_error_and_date_cells_do_not_crash(tmp_path):
+    """Formula-error (t="e") and ISO-date (t="d") cells must read as their
+    text, matching pd.read_excel's keep-the-string behavior."""
+    import zipfile
+    from dataquality_spark.sources.xlsx import read_xlsx_pdf, write_xlsx
+    import pandas as pd
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx(pd.DataFrame({"a": [1.0], "b": ["x"]}), p)
+    # splice an error cell into the sheet xml
+    with zipfile.ZipFile(p) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    sheet = names["xl/worksheets/sheet1.xml"]
+    sheet = sheet.replace(
+        b"</sheetData>",
+        b'<row r="3"><c r="A3" t="e"><v>#DIV/0!</v></c>'
+        b'<c r="B3" t="d"><v>2024-01-02</v></c></row></sheetData>')
+    names["xl/worksheets/sheet1.xml"] = sheet
+    with zipfile.ZipFile(p, "w") as z:
+        for n, data in names.items():
+            z.writestr(n, data)
+    df = read_xlsx_pdf(p)
+    assert df.iloc[-1, 0] == "#DIV/0!"
+    assert df.iloc[-1, 1] == "2024-01-02"
+
+
+def test_write_xlsx_quoted_sheet_name_roundtrip(tmp_path):
+    from dataquality_spark.sources.xlsx import read_xlsx_pdf, write_xlsx
+    import pandas as pd
+    p = str(tmp_path / "q.xlsx")
+    write_xlsx(pd.DataFrame({"a": [1.0]}), p, sheet_name='Q1 "final"')
+    assert read_xlsx_pdf(p)["a"].tolist() == [1]
