@@ -73,7 +73,7 @@ def extract_text_py(html: bytes | str | None) -> str | None:
     """Scalar spec (the testable oracle the UDF must match)."""
     if html is None:
         return None
-    raw = html.decode("utf-8", errors="replace") if isinstance(
+    raw = bytes(html).decode("utf-8", errors="replace") if isinstance(
         html, (bytes, bytearray, memoryview)) else html
     p = _Extractor()
     p.feed(raw)
@@ -131,7 +131,7 @@ def extract_links_py(html: bytes | str | None) -> list[str]:
     outlink-harvest step of a crawl frontier. Scalar spec for the UDF."""
     if html is None:
         return []
-    raw = html.decode("utf-8", errors="replace") if isinstance(
+    raw = bytes(html).decode("utf-8", errors="replace") if isinstance(
         html, (bytes, bytearray, memoryview)) else html
     p = _LinkCollector()
     p.feed(raw)

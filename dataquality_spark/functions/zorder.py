@@ -49,15 +49,24 @@ def zorder_key2_py(a: int, b: int) -> int:
 
 
 def sql_zorder_key2(a_expr: str, b_expr: str) -> str:
-    """The identical arithmetic as ANSI/DuckDB SQL (engine-portable)."""
+    """The identical arithmetic as ANSI/DuckDB SQL (engine-portable).
 
-    def spread(e: str) -> str:
-        x = f"(({e}) & 65535)"
-        for shift, mask in _SPREAD_STEPS:
-            x = f"(({x} | ({x} << {shift})) & {mask})"
-        return x
+    Emitted as a chain of nested scalar subqueries so each input
+    expression appears exactly ONCE (the naive textual substitution
+    doubled the operand per spread step — 16 copies each), and the base
+    is CAST to BIGINT: the Spark side spreads longs, and on a 32-bit
+    INTEGER input the final ``<< 1`` overflows int32 in DuckDB
+    (verified: b >= 32768 raised OutOfRangeException before the cast)."""
 
-    return f"({spread(a_expr)} | ({spread(b_expr)} << 1))"
+    def spread(e: str, alias: str) -> str:
+        inner = f"SELECT CAST(({e}) AS BIGINT) & 65535 AS v0"
+        for i, (shift, mask) in enumerate(_SPREAD_STEPS):
+            inner = (f"SELECT (v{i} | (v{i} << {shift})) & {mask} "
+                     f"AS v{i + 1} FROM ({inner})")
+        n = len(_SPREAD_STEPS)
+        return f"(SELECT v{n} FROM ({inner}) {alias})"
+
+    return f"({spread(a_expr, '_za')} | ({spread(b_expr, '_zb')} << 1))"
 
 
 def write_zordered(df: DataFrame, path: str, a: str, b: str,

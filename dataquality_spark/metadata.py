@@ -20,6 +20,7 @@ from dataclasses import asdict, dataclass, field
 from enum import Enum
 
 from dataquality_spark import spec
+from dataquality_spark.runlog import rule_dimension
 
 
 class ParameterType(Enum):
@@ -60,40 +61,40 @@ def _p(name, title, type_, default, **kw) -> ParameterMetadata:
 
 
 _REGISTRY: tuple[RuleMetadata, ...] = (
-    RuleMetadata("min_words", "completeness", (
+    RuleMetadata("min_words", rule_dimension("min_words"), (
         _p("min_words", "Minimum word count", ParameterType.INTEGER,
            spec.MIN_WORDS, min=0, step=1),)),
-    RuleMetadata("max_words", "completeness", (
+    RuleMetadata("max_words", rule_dimension("max_words"), (
         _p("max_words", "Maximum word count", ParameterType.INTEGER,
            spec.MAX_WORDS, min=1, step=1),)),
-    RuleMetadata("mean_word_len", "accuracy", (
+    RuleMetadata("mean_word_len", rule_dimension("mean_word_len"), (
         _p("min_mean_word_len", "Min mean word length",
            ParameterType.DECIMAL, spec.MIN_MEAN_WORD_LEN, min=0.0),
         _p("max_mean_word_len", "Max mean word length",
            ParameterType.DECIMAL, spec.MAX_MEAN_WORD_LEN, min=0.0),)),
-    RuleMetadata("alpha_ratio", "accuracy", (
+    RuleMetadata("alpha_ratio", rule_dimension("alpha_ratio"), (
         _p("min_alpha_ratio", "Min alphabetic-word fraction",
            ParameterType.DECIMAL, spec.MIN_ALPHA_RATIO, min=0.0, max=1.0),)),
-    RuleMetadata("symbol_ratio", "accuracy", (
+    RuleMetadata("symbol_ratio", rule_dimension("symbol_ratio"), (
         _p("max_symbol_ratio", "Max symbol/word ratio",
            ParameterType.DECIMAL, spec.MAX_SYMBOL_RATIO, min=0.0, max=1.0),)),
-    RuleMetadata("stopword_ratio", "accuracy", (
+    RuleMetadata("stopword_ratio", rule_dimension("stopword_ratio"), (
         _p("min_stopword_ratio", "Min stop-word fraction",
            ParameterType.DECIMAL, spec.MIN_STOPWORD_RATIO, min=0.0, max=1.0),
         _p("min_stopword_count", "Min stop-word count",
            ParameterType.INTEGER, spec.MIN_STOPWORD_COUNT, min=0, step=1),)),
-    RuleMetadata("dup_lines", "uniqueness", (
+    RuleMetadata("dup_lines", rule_dimension("dup_lines"), (
         _p("max_dup_line_fraction", "Max duplicate-line fraction",
            ParameterType.DECIMAL, spec.MAX_DUP_LINE_FRACTION,
            min=0.0, max=1.0),)),
-    RuleMetadata("lang_match", "consistency", (
+    RuleMetadata("lang_match", rule_dimension("lang_match"), (
         _p("min_langid_conf", "Min language-ID confidence",
            ParameterType.DECIMAL, spec.MIN_LANGID_CONF, min=0.0, max=1.0),)),
-    RuleMetadata("perplexity", "accuracy", (
+    RuleMetadata("perplexity", rule_dimension("perplexity"), (
         _p("iqr_factor", "Perplexity IQR outlier factor",
            ParameterType.DECIMAL, spec.IQR_FACTOR, min=0.0,
            hint="reference A2 default 1.5 (`accuracy/a2.py:23`)"),)),
-    RuleMetadata("dedup", "uniqueness", (
+    RuleMetadata("dedup", rule_dimension("dedup"), (
         _p("salt_buckets", "Skew salt buckets", ParameterType.INTEGER,
            64, min=1, step=1,
            hint="result is salt-invariant; tune for reducer balance"),)),

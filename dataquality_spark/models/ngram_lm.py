@@ -28,7 +28,11 @@ _PB = np.uint64(16777619)
 _MASK = np.uint64(N_BUCKETS - 1)
 ADD_K = 0.1
 CHAR_VOCAB = 64.0  # smoothing denominator scale (≈ chars per language)
-MAX_CHARS = 512
+# the effective window: _codepoints (shared with langid) truncates to
+# langid.MAX_CHARS first, so a larger value here would be dead — keep
+# the two pinned together (a drift would silently shift the per-lang
+# IQR bounds against previously trained artifacts)
+MAX_CHARS = 256
 
 
 def _tri_ctx_buckets(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -261,7 +261,7 @@ def decode_media(df: DataFrame, id_col: str = "media_id",
                     out["width"][i], out["height"][i] = w, h
                     out["n_channels"][i] = c
                     out["ok"][i] = True
-                except (ValueError, NotImplementedError, Exception) as e:
+                except Exception as e:
                     out["err"][i] = f"{type(e).__name__}: {e}"[:200]
             yield pd.DataFrame(out)
 

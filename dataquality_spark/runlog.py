@@ -76,8 +76,18 @@ def append_run_log(spark: SparkSession, cat: ManifestCatalog,
             "Why_Did_the_Test_Fail": m.get("why_failed"),
         })
     pdf = pd.DataFrame(rows, columns=RUN_LOG_COLUMNS)
-    sdf = spark.createDataFrame(pdf.astype({
-        "Errors": "object", "Why_Did_the_Test_Fail": "object"}))
+    # EXPLICIT schema, never inference: a snapshot whose Errors/Why/Score
+    # values are all None would otherwise land as NullType parquet, and a
+    # later typed append makes every subsequent whole-table read fail with
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH (reproduced); empty metrics_rows
+    # would fail inference outright
+    schema = ("Dataset string, Dimension string, Test string, "
+              "Selected_Columns string, Threshold double, Score double, "
+              "Run_Time_and_Date string, New_or_Existing_Test string, "
+              "One_Line_Summary string, Errors string, "
+              "Why_Did_the_Test_Fail string")
+    sdf = spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None),
+                                schema=schema)
     return cat.write(sdf, table, mode="append",
                      summary={"dataset": dataset, "rules": len(rows)})
 

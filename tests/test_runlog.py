@@ -54,3 +54,26 @@ def test_export_run_log_xlsx_reference_format(spark, tmp_path):
     assert by_test.loc["min_words", "Score"] == "63.64%"
     assert by_test.loc["dedup", "Score"] == "0%"
     assert by_test.loc["min_words", "Threshold"] == "no threshold"
+
+
+def test_append_all_none_then_typed_errors_reads_back(spark, tmp_path):
+    """Regression: schema inference made an all-None Errors/Score snapshot
+    NullType parquet, and a later typed append broke every whole-table
+    read with a parquet type mismatch."""
+    from dataquality_spark.catalog import ManifestCatalog
+    from dataquality_spark.runlog import append_run_log, read_run_log
+    cat = ManifestCatalog(str(tmp_path))
+    base = {"pass_count": 9, "fail_count": 1, "score": None}
+    append_run_log(spark, cat, "d1",
+                   [{"rule_id": "min_words", **base}])        # all-None cols
+    append_run_log(spark, cat, "d2",
+                   [{"rule_id": "dedup", **base, "score": 0.5,
+                     "errors": "boom", "why_failed": "because"}])
+    rows = read_run_log(spark, cat).collect()
+    assert len(rows) == 2
+    by = {r["Dataset"]: r for r in rows}
+    assert by["d1"]["Errors"] is None and by["d1"]["Score"] is None
+    assert by["d2"]["Errors"] == "boom" and by["d2"]["Score"] == 0.5
+    # empty metrics list must also not crash inference
+    append_run_log(spark, cat, "d3", [])
+    assert read_run_log(spark, cat).count() == 2
