@@ -28,15 +28,26 @@ WS = [" ", "  ", "\t", "\n", " \n ", " "]
 def _random_docs(n=300, seed=99):
     rng = random.Random(seed)
     rows = []
+    boiler = " ".join(rng.choice(WORDS) for _ in range(9))  # shared span
     for i in range(n):
-        kind = rng.randrange(6)
+        kind = rng.randrange(8)
         if kind == 0:
             text = ""
         elif kind == 1:
             text = rng.choice(WORDS)
+        elif kind == 2 and rows:
+            # exact cross-doc (often cross-SOURCE) duplicate — stresses
+            # dedup_winners / prefix_dup_rate / source_overlap / snapshot
+            text = rng.choice(rows)[1]
         else:
             k = rng.randint(1, 40)
             text = rng.choice(WS).join(rng.choice(WORDS) for _ in range(k))
+            if rng.random() < 0.25:
+                # splice the shared boilerplate span mid-document —
+                # duplicated >=5-word windows across unrelated docs
+                # (substring_dedup's removal set, corpus_ngrams heavy
+                # hitters, sb_lm bigram mass)
+                text = text + rng.choice(WS) + boiler
             if rng.random() < 0.3:
                 text = rng.choice(WS) + text + rng.choice(WS)
         rows.append((i, text, rng.choice(["en", "de", "fr", "es", "zh"]),
@@ -56,7 +67,7 @@ QUERIES_UNDER_TEST = [
 ]
 
 
-@pytest.fixture(scope="module", params=[99, 1234])
+@pytest.fixture(scope="module", params=[99, 1234, 777])
 def diff_env(request, spark, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"diffdocs{request.param}")
     rows = _random_docs(seed=request.param)
