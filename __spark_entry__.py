@@ -24,10 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full quality-pipeline DAG (heuristic rules → langid +
     perplexity UDF → scrub → skew-salted exact dedup) on the deterministic
-    synthetic pages corpus, summarized as per-rule metrics, plus the
-    heuristic gate over the sf0.001 documents table unioned in as
-    rule-level scores (stable schema: rule_id, pass_count, fail_count,
-    score)."""
+    synthetic pages corpus, summarized as per-rule metrics (stable schema:
+    rule_id, pass_count, fail_count, score — 11 rows, one per pipeline
+    rule)."""
     from dataquality_spark import pipeline
     from dataquality_spark.synth import generate_pages
 

@@ -35,7 +35,10 @@ def sf_from_dir(sf_dir: str) -> float:
 
 def ensure_pages(spark, n_rows: int, seed: int = 42) -> str:
     from dataquality_spark.synth import generate_pages
-    path = f"/tmp/dq_bench_pages_{n_rows}_{seed}"
+    from dataquality_spark.synth import SYNTH_VERSION
+    # keyed on the generator version too: a cached corpus from an older
+    # generator would silently benchmark stale fixture bytes
+    path = f"/tmp/dq_bench_pages_{n_rows}_{seed}_v{SYNTH_VERSION}"
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         log(f"generating {n_rows} pages → {path}")

@@ -73,7 +73,8 @@ def heuristic_labels(pdf: pd.DataFrame, text_col: str = "text",
         out[c] = st[c]
 
     def nz(series, pred):
-        return series.notna() & series.apply(lambda v: bool(pred(v)) if v is not None and not (isinstance(v, float) and np.isnan(v)) else False)
+        # single guarded pass: pred never sees None/NaN
+        return series.apply(lambda v: bool(pd.notna(v)) and bool(pred(v)))
 
     out["r_nonempty"] = pdf[text_col].apply(
         lambda t: t is not None and not (isinstance(t, float) and np.isnan(t))
@@ -142,8 +143,11 @@ def full_labels(pdf: pd.DataFrame, langid_art: dict, lm_art: dict) -> pd.DataFra
     # normalized variant belongs to the near-dup stage)
     out["_norm"] = out["text"]
     cand = out[out["pre_dedup_pass"]]
+    # na_position='first' matches Spark's min(struct(warc_ts, url)) null
+    # ordering (NULLS FIRST) — pandas defaults NaT LAST, which picked a
+    # different winner whenever a duplicate group contained a null ts
     winner_idx = (
-        cand.sort_values(["_norm", "warc_ts", "url"])
+        cand.sort_values(["_norm", "warc_ts", "url"], na_position="first")
         .groupby("_norm", sort=False)
         .head(1)
         .index

@@ -29,8 +29,11 @@ def get_spark(
     # local[N] → N threads; shuffle partitions ≈ 2×cores keeps tasks small
     # enough for AQE to coalesce without starving parallelism.
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
-        shuffle_partitions = 2 * (cpus if n in ("", "*") else int(n))
+        # 'local[N,maxFailures]' is legal Spark syntax — parse only the
+        # leading digits; '*' or anything non-numeric falls back to cpus
+        import re as _re
+        m = _re.search(r"\[(\d+)", master)
+        shuffle_partitions = 2 * (int(m.group(1)) if m else cpus)
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -12,11 +12,12 @@ Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -106,6 +107,12 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    unknown = only - set(Q.QUERIES)
+    if unknown:
+        # a typo'd name must not report '0 failures' after checking nothing
+        print(f"unknown query name(s): {sorted(unknown)}", flush=True)
+        sys.exit(2)
 
     failures = []
     for name, fn in Q.QUERIES.items():
