@@ -151,6 +151,10 @@ def main():
              .write.format("noop").mode("overwrite").save())
             qsecs[name] = round(time.time() - t0, 3)
             n = obs.get["n"]
+            # drain persists the query pinned (LSH signature frames,
+            # prefix-sum range partitioning) — outside the timed region:
+            # release is bookkeeping, not query work
+            Q.release_cached()
             log(f"query {name}: {qsecs[name]}s ({n} rows)")
 
     total = round(sum(qsecs.values()), 3)

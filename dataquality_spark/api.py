@@ -47,8 +47,14 @@ def run_rule(spark: SparkSession, dataset: DataFrame | str,
         from dataquality_spark.sources import read_data
         dataset = read_data(spark, dataset)
     if rule_id == "dedup":
+        from dataquality_spark.metadata import validate_params
         from dataquality_spark.operators.dedup import with_dedup_flag
-        flagged = with_dedup_flag(dataset, text_col=text_col)
+        # route the validated override through (the metadata registry
+        # advertises `salt_buckets` as tunable for this rule; silently
+        # ignoring user params here was a contract gap)
+        eff = validate_params(params)
+        flagged = with_dedup_flag(dataset, text_col=text_col,
+                                  salt_buckets=int(eff["salt_buckets"]))
     elif rule_id in spec.HEURISTIC_RULES:
         flagged = with_rule_flags(dataset, text_col, lang_col, params)
     else:

@@ -79,6 +79,48 @@ def shingles_py(text: str | None, n: int = 3) -> list[str]:
     return list(seen)
 
 
+_PORT_KEEP = _re.compile(r"[^A-Za-z0-9 \t\n\r\f\v]+")
+_PORT_WS = _re.compile(r"[ \t\n\r\f\v]+")
+
+
+def shingles_portable(text: str | None, n: int = 3) -> list[str]:
+    """ENGINE-PORTABLE shingle spec (the `simhash64_py` pattern, extended
+    to SQL): same shape as ``shingles_py`` but with every step expressible
+    identically in Python re AND DuckDB RE2 —
+
+      * non-ASCII is stripped BEFORE lowercasing, so ``lower()`` only ever
+        sees ASCII (Python and ICU lowercasing disagree on e.g. 'İ');
+      * whitespace is the explicit ASCII class ``[ \\t\\n\\r\\f\\v]`` (a
+        bare ``\\s`` is unicode-aware in Python but ASCII-only in RE2).
+
+    Paired with ``poly_hash31`` this makes a MinHash-LSH candidate set
+    reproducible in pure SQL — the exact-oracle path for the composed
+    fuzzy-dedup query. The crc32 spec stays the default elsewhere."""
+    if text is None:
+        return []
+    t = _PORT_WS.sub(" ", _PORT_KEEP.sub("", text)).strip().lower()
+    if not t:
+        return []
+    ws = t.split(" ")
+    if len(ws) < n:
+        return [t]
+    return list(dict.fromkeys(
+        " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)))
+
+
+def poly_hash31(s: str) -> int:
+    """Base-31 polynomial over codepoints mod Mersenne-31 — the
+    SQL-expressible shingle hash: DuckDB spells it
+    ``list_reduce(list_transform(str_split(s, ''), c -> unicode(c)::bigint),
+    (a, b) -> (a * 31 + b) % 2147483647)`` (fold seeded with the first
+    element, hence the asymmetric first step here). ``s`` must be
+    non-empty."""
+    h = ord(s[0])
+    for c in s[1:]:
+        h = (h * 31 + ord(c)) % _MERSENNE
+    return h
+
+
 def choose_banding(threshold: float) -> tuple[int, int]:
     """(bands, rows) factorization of the 64 permutations for a target
     similarity threshold: the steepest banding whose S-curve midpoint
@@ -97,7 +139,8 @@ def choose_banding(threshold: float) -> tuple[int, int]:
 
 
 def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
-                      rows: int = LSH_ROWS):
+                      rows: int = LSH_ROWS,
+                      signature_spec: str = "crc32"):
     """pandas UDF: text → struct(sh array<string>, bands array<bigint>).
 
     Shingling AND minhash both live here. Why not JVM expressions: Spark
@@ -116,17 +159,26 @@ def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
     K = np.int64(1_000_003)
     P = np.int64(_MERSENNE)
 
+    if signature_spec not in ("crc32", "portable"):
+        raise ValueError(f"unknown signature_spec {signature_spec!r}")
+    portable = signature_spec == "portable"
+
     @F.pandas_udf("struct<sh: array<string>, bands: array<long>>")
     def sig_bands(text_s: pd.Series) -> pd.DataFrame:
         shs, keys_out = [], []
         for t in text_s:
-            sh = shingles_py(t, shingle_n)
+            sh = (shingles_portable(t, shingle_n) if portable
+                  else shingles_py(t, shingle_n))
             if not sh:
                 shs.append(None)
                 keys_out.append(None)
                 continue
-            h = np.array([crc32(s.encode("utf-8")) for s in sh],
-                         dtype=np.int64)[None, :] % P
+            if portable:
+                h = np.array([poly_hash31(s) for s in sh],
+                             dtype=np.int64)[None, :]
+            else:
+                h = np.array([crc32(s.encode("utf-8")) for s in sh],
+                             dtype=np.int64)[None, :] % P
             sig = ((A * h + B) % P).min(axis=1)  # [MINHASH_PERMS]
             bsig = sig.reshape(bands, rows)
             keys = np.arange(1, bands + 1, dtype=np.int64)
@@ -193,7 +245,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
                    skew_metrics: dict | None = None,
                    cleanup: list[DataFrame] | None = None,
                    measure: str = "jaccard",
-                   banding: tuple[int, int] | str = "auto") -> DataFrame:
+                   banding: tuple[int, int] | str = "auto",
+                   signature_spec: str = "crc32") -> DataFrame:
     """Candidate near-duplicate pairs via MinHash-banded LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard), id_a < id_b.
 
@@ -224,7 +277,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
 
     if banding == "auto":
         banding = choose_banding(jaccard_threshold)
-    udf = shingle_bands_udf(shingle_n, bands=banding[0], rows=banding[1])
+    udf = shingle_bands_udf(shingle_n, bands=banding[0], rows=banding[1],
+                            signature_spec=signature_spec)
     base = df.select(
         F.col(id_col).alias("_id"), udf(F.col(text_col)).alias("_sb")
     ).select(

@@ -126,7 +126,10 @@ def stream_first_seen_dedup_query(spark: SparkSession, input_dir: str,
             .start())
 
 
-_HOST_RE = r"(?i)^[a-z]+://([^/]+)"  # schemes are case-insensitive
+# same RFC-3986 scheme class as functions.text.canonical_url (a bare
+# `[a-z]+` rejects digit/plus/dot-bearing schemes like s3://, collapsing
+# their hosts into one '' reputation group); schemes are case-insensitive
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 
 REPUTATION_OUTPUT = ("host string, docs bigint, fails bigint, "
                      "fail_rate double, blocked boolean")
@@ -172,6 +175,9 @@ def stream_host_reputation_query(spark: SparkSession, input_dir: str,
     per_doc = flagged.select(
         F.lower(F.regexp_extract("url", _HOST_RE, 1)).alias("host"),
         F.col("heuristic_pass").alias("doc_pass"))
+    # scheme-less/unparseable URLs extract host '' — drop them rather than
+    # accumulate a meaningless shared reputation group
+    per_doc = per_doc.where(F.col("host") != "")
     status = per_doc.groupBy("host").applyInPandasWithState(
         _reputation_fn(min_docs, max_fail_rate),
         outputStructType=REPUTATION_OUTPUT,

@@ -30,9 +30,14 @@ def _random_docs(n=300, seed=99):
     rows = []
     boiler = " ".join(rng.choice(WORDS) for _ in range(9))  # shared span
     for i in range(n):
-        kind = rng.randrange(8)
+        kind = rng.randrange(9)
         if kind == 0:
             text = ""
+        elif kind == 8:
+            # NULL text — real at crawl scale (extraction failures);
+            # advisor-flagged: token_stats silently diverged from its
+            # oracle on NULL until both sides gained the IS NOT NULL guard
+            text = None
         elif kind == 1:
             text = rng.choice(WORDS)
         elif kind == 2 and rows:
@@ -51,7 +56,8 @@ def _random_docs(n=300, seed=99):
             if rng.random() < 0.3:
                 text = rng.choice(WS) + text + rng.choice(WS)
         rows.append((i, text, rng.choice(["en", "de", "fr", "es", "zh"]),
-                     f"src{i % 7}", len(text)))
+                     f"src{i % 7}",
+                     len(text) if text is not None else None))
     return rows
 
 

@@ -126,6 +126,10 @@ def main():
             print(f"FAIL {name}: spark error {e}")
             failures.append(name)
             continue
+        finally:
+            # drain persists the query pinned (collect() above is the
+            # terminal action, so the prefix-sum pin is releasable)
+            Q.release_cached()
         sql = Q.ORACLE_SQL.get(name)
         if sql is None:
             print(f"ok   {name}: rows-only, {len(s_rows)} rows")
