@@ -15,6 +15,26 @@ Reference parity: S-7's "metadata file exists" accessibility check
 (`dimensions/accessibility/s1.py:36`) becomes a real ``snapshots()`` metadata
 listing; S-5's versioned CSV sink (`utils/core_operations.py:20-31`) becomes
 snapshot history on one table instead of ``_v{N}`` file proliferation.
+
+Iceberg parity matrix (asserted by ``tests/test_iceberg_parity.py``, which
+runs the SAME scripted lifecycle through both backends — the real-Iceberg
+leg is jar-gated and activates automatically on a cluster classpath):
+
+  | observable                       | ManifestCatalog     | Iceberg            |
+  |----------------------------------|---------------------|--------------------|
+  | overwrite → new table state      | write(mode=o'write) | createOrReplace    |
+  | append → union of snapshots      | write(mode=append)  | writeTo().append() |
+  | current read                     | read()              | read.table         |
+  | time-travel by snapshot id       | read(snapshot_id)   | option snapshot-id |
+  | snapshot listing, commit order   | snapshots()         | <t>.snapshots      |
+  | parent linkage (None for first)  | snapshot["parent"]  | parent_id          |
+  | unknown/expired snapshot → error | FileNotFoundError   | analysis error     |
+  | expire keeps current readable    | expire_snapshots()  | expire_snapshots   |
+
+Known deliberate differences (metadata-internal, not observable through the
+boundary above): snapshot ids are uuid-hex here vs int64 there; expiry here
+takes keep_last while Iceberg's procedure takes ids/timestamps (the test
+drives both to the same end state).
 """
 
 from __future__ import annotations

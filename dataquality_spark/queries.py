@@ -2197,17 +2197,109 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q48 — the composed fuzzy-dedup SCALE path (rows-only: the LSH stage is
-# probabilistic, so no SQL oracle — its exact-oracle counterpart is
-# `neardup_components`, which runs the same fixpoint over brute-force
-# Jaccard edges): LSH pairs → connected components → canonical winners.
+# Q48 — the composed fuzzy-dedup SCALE path with a FULL exact oracle:
+# LSH pairs → connected components → canonical winners. MinHash is not
+# probabilistic-per-run — it is a pure function of (shingles, seeded
+# permutations) — so the whole composition is SQL-expressible once the
+# signature spec is engine-portable (`signature_spec="portable"`:
+# ASCII-class shingles + base-31 poly hash, `operators/dedup.py::
+# shingles_portable`). The oracle recomputes the 64 seeded permutations,
+# the 32×2 banding fold, the hot-bucket cap, the exact-Jaccard verify
+# (integer predicate 2·|∩| ≥ |∪|), the component fixpoint (recursive CTE)
+# and the winner window — candidate-set-exact, not just decision-exact.
 
 def q_fuzzy_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_spark.operators.components import fuzzy_dedup
     docs = _t(spark, sf_dir, "documents")
     out = fuzzy_dedup(docs, id_col="doc_id", text_col="text",
-                      jaccard_threshold=0.5)
+                      jaccard_threshold=0.5,
+                      signature_spec="portable",
+                      order_by=[F.desc_nulls_last(F.length("text")),
+                                F.asc("doc_id")])
     return out.select("doc_id", "component", "is_winner")
+
+
+def _sql_fuzzy_dedup() -> str:
+    """DuckDB mirror of the full fuzzy-dedup composition under the
+    portable signature spec. Generated, not hand-kept: the permutation
+    constants, banding factorization and fold constants are read from the
+    SAME source (`operators/dedup.py`) the Spark UDF uses, so the two
+    sides cannot drift."""
+    from dataquality_spark.operators.dedup import (_MERSENNE, _perm_params,
+                                                   choose_banding)
+    bands, rows = choose_banding(0.5)
+    assert (bands, rows) == (32, 2), "oracle fold below is written for r=2"
+    params = _perm_params()
+    a_lit = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in params) + "]"
+    P, K = _MERSENNE, 1_000_003
+    return rf"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^A-Za-z0-9 \t\n\r\f\v]+', '', 'g'),
+             '[ \t\n\r\f\v]+', ' ', 'g'))) AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_filter(list_distinct(list_transform(
+             range(1, greatest(len(str_split(t, ' ')) - 3, 0) + 2),
+             i -> array_to_string(list_slice(str_split(t, ' '), i, i + 2),
+                                  ' ')
+         )), x -> x IS NOT NULL AND x <> '') AS s
+  FROM norm
+),
+hs AS (
+  SELECT doc_id, s,
+         list_transform(s, g -> list_reduce(
+             list_transform(str_split(g, ''), c -> unicode(c)::bigint),
+             (a, b) -> (a * 31 + b) % {P})) AS hv
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 64), i -> list_min(
+             list_transform(hv, h -> ({a_lit}[i + 1] * h
+                                      + {b_lit}[i + 1]) % {P}))) AS sig
+  FROM hs WHERE len(hv) > 0
+),
+bk AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, {bands}), i ->
+             ((((i + 1) * {K} + sig[2 * i + 1]) % {P}) * {K}
+              + sig[2 * i + 2]) % {P})) AS bucket
+  FROM sigs
+),
+hot AS (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) > 200),
+bk2 AS (SELECT doc_id, bucket FROM bk
+        WHERE bucket NOT IN (SELECT bucket FROM hot)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk2 a JOIN bk2 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+e0 AS (
+  SELECT c.id_a AS u, c.id_b AS v
+  FROM cand c
+  JOIN hs sa ON sa.doc_id = c.id_a
+  JOIN hs sb ON sb.doc_id = c.id_b
+  WHERE 2 * len(list_intersect(sa.s, sb.s))
+        >= len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))
+),
+edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+walk(id, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
+),
+labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+SELECT d.doc_id,
+       coalesce(l.comp, d.doc_id)::bigint AS component,
+       row_number() OVER (
+           PARTITION BY coalesce(l.comp, d.doc_id)
+           ORDER BY len(d.text) DESC NULLS LAST, d.doc_id) = 1 AS is_winner
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2976,6 +3068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "fuzzy_dedup_decisions": _sql_fuzzy_dedup(),
     "heuristic_gate": _SQL_HEURISTIC_GATE,
     "null_metrics": _SQL_NULL_METRICS,
     "prefix_dup_rate": _SQL_PREFIX_DUP_RATE,

@@ -342,3 +342,50 @@ def test_substring_dedup_no_duplicates_is_identity(spark):
            remove_duplicated_spans(_docs(spark, rows), id_col="doc_id",
                                    min_len=5).collect()}
     assert out == {1: "p q r s t u v", 2: "h i j k l m n"}
+
+
+# --- portable signature spec (the SQL-oracle MinHash path) -----------------
+
+def test_poly_hash31_matches_duckdb_fold():
+    """poly_hash31 must equal the documented DuckDB list_reduce spelling
+    for every shingle shape the spec can produce."""
+    import duckdb
+
+    from dataquality_spark.operators.dedup import poly_hash31
+    con = duckdb.connect()
+    for s in ["a", "ab", "chapter 12 intro", "x" * 40, "0 0 0",
+              "the quick brown"]:
+        (got,) = con.execute(
+            "SELECT list_reduce(list_transform(str_split(?, ''), "
+            "c -> unicode(c)::bigint), (a, b) -> (a * 31 + b) % 2147483647)",
+            [s]).fetchone()
+        assert got == poly_hash31(s), s
+
+
+def test_shingles_portable_matches_duckdb_normalization():
+    """The portable normalization+shingling must agree with its DuckDB
+    spelling on adversarial inputs (unicode, ASCII-vs-unicode whitespace,
+    short docs) — the premise the fuzzy-dedup exact oracle stands on."""
+    import duckdb
+
+    from dataquality_spark.operators.dedup import shingles_portable
+    con = duckdb.connect()
+    sql = r"""
+SELECT list_filter(list_distinct(list_transform(
+    range(1, greatest(len(str_split(t, ' ')) - 3, 0) + 2),
+    i -> array_to_string(list_slice(str_split(t, ' '), i, i + 2), ' ')
+)), x -> x IS NOT NULL AND x <> '')
+FROM (SELECT lower(trim(regexp_replace(regexp_replace(coalesce(?, ''),
+    '[^A-Za-z0-9 \t\n\r\f\v]+', '', 'g'),
+    '[ \t\n\r\f\v]+', ' ', 'g'))) AS t)
+"""
+    cases = ["", "a", "one two", "one two three four five",
+             "Tab\there\nand\rmore\x0bws\x0cok",
+             "café naïve 東京 данные mix", "UPPER lower MiXeD",
+             "a b c d e",      # unicode NBSP is NOT portable ws
+             "  padded   runs  ", "12 34 56 78", None]
+    for text in cases:
+        (got,) = con.execute(sql, [text]).fetchone()
+        # list_distinct does not preserve order — only the SET feeds the
+        # composition (min over hashes, list_intersect), so compare sorted
+        assert sorted(got) == sorted(shingles_portable(text, 3)), repr(text)

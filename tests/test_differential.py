@@ -70,6 +70,9 @@ QUERIES_UNDER_TEST = [
     "stratified_split", "domain_stats", "corpus_ngrams",
     "length_percentiles", "snapshot_diff", "substring_dedup",
     "mixture_rebalance", "sb_lm_score", "bm25_topk", "source_overlap",
+    # the full LSH→components→winners composition under the portable
+    # signature spec — candidate-set-exact vs the SQL MinHash mirror
+    "fuzzy_dedup_decisions",
 ]
 
 
