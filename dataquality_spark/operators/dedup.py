@@ -174,8 +174,20 @@ def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
                 keys_out.append(None)
                 continue
             if portable:
-                h = np.array([poly_hash31(s) for s in sh],
-                             dtype=np.int64)[None, :]
+                # vectorized poly_hash31: left-pad to a char matrix and
+                # fold column-wise — leading zeros are identity under the
+                # polynomial (0·31^k), so padded == scalar fold exactly
+                # (pytest-pinned against poly_hash31); ~max_len vector ops
+                # per shingle SET instead of a Python loop per char
+                bs = [s.encode("ascii") for s in sh]  # spec is ASCII-only
+                ml = max(len(b) for b in bs)
+                M = np.zeros((len(bs), ml), dtype=np.int64)
+                for r_i, b in enumerate(bs):
+                    M[r_i, ml - len(b):] = np.frombuffer(b, dtype=np.uint8)
+                hv = np.zeros(len(bs), dtype=np.int64)
+                for j in range(ml):
+                    hv = (hv * 31 + M[:, j]) % P
+                h = hv[None, :]
             else:
                 h = np.array([crc32(s.encode("utf-8")) for s in sh],
                              dtype=np.int64)[None, :] % P

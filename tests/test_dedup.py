@@ -389,3 +389,37 @@ FROM (SELECT lower(trim(regexp_replace(regexp_replace(coalesce(?, ''),
         # list_distinct does not preserve order — only the SET feeds the
         # composition (min over hashes, list_intersect), so compare sorted
         assert sorted(got) == sorted(shingles_portable(text, 3)), repr(text)
+
+
+def test_portable_udf_batch_hash_equals_scalar(spark):
+    """The vectorized left-padded fold inside the portable UDF must equal
+    the scalar poly_hash31 spec — checked through the full UDF output
+    (signature band keys recomputed from scalar hashes)."""
+    import numpy as np
+
+    from dataquality_spark.operators.dedup import (_MERSENNE, _perm_params,
+                                                   poly_hash31,
+                                                   shingle_bands_udf,
+                                                   shingles_portable)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "chapter 12 begins chapter 13 ends", "one", "",
+             "a b c d e f g h i j k l m n o p q r s t"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    udf = shingle_bands_udf(3, bands=32, rows=2, signature_spec="portable")
+    rows = (df.select(udf("text").alias("s"))
+            .select("s.sh", "s.bands").collect())
+    params = _perm_params()
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    for t, row in zip(texts, rows):
+        sh = shingles_portable(t, 3)
+        if not sh:
+            assert row.sh is None and row.bands is None
+            continue
+        assert row.sh == sh
+        h = np.array([poly_hash31(s) for s in sh], dtype=np.int64)[None, :]
+        sig = ((A * h + B) % _MERSENNE).min(axis=1)
+        keys = np.arange(1, 33, dtype=np.int64)
+        for r in range(2):
+            keys = (keys * 1_000_003 + sig.reshape(32, 2)[:, r]) % _MERSENNE
+        assert row.bands == keys.tolist(), t
