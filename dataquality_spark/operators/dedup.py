@@ -163,31 +163,42 @@ def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
         raise ValueError(f"unknown signature_spec {signature_spec!r}")
     portable = signature_spec == "portable"
 
+    def _poly_hash_flat(flat: list[bytes]) -> np.ndarray:
+        """Vectorized poly_hash31 over EVERY shingle of the Arrow batch at
+        once: left-pad to one char matrix and fold column-wise — leading
+        zeros are identity under the polynomial (0·31^k), so padded ==
+        scalar fold exactly (pytest-pinned against poly_hash31). One
+        ~max_len-step fold per BATCH instead of a matrix build per row
+        (the per-row version measured 0.54s/5k docs vs crc32's 0.04s;
+        this form runs at crc32 speed)."""
+        ml = max(len(b) for b in flat)
+        buf = b"".join(bytes(ml - len(b)) + b for b in flat)
+        M = np.frombuffer(buf, dtype=np.uint8).reshape(len(flat), ml)
+        hv = np.zeros(len(flat), dtype=np.int64)
+        for j in range(ml):
+            hv = (hv * 31 + M[:, j]) % P
+        return hv
+
     @F.pandas_udf("struct<sh: array<string>, bands: array<long>>")
     def sig_bands(text_s: pd.Series) -> pd.DataFrame:
         shs, keys_out = [], []
-        for t in text_s:
-            sh = (shingles_portable(t, shingle_n) if portable
-                  else shingles_py(t, shingle_n))
+        if portable:
+            all_sh = [shingles_portable(t, shingle_n) for t in text_s]
+            flat = [s.encode("ascii") for sh in all_sh
+                    for s in sh]  # spec is ASCII-only
+            hv_all = _poly_hash_flat(flat) if flat else np.empty(
+                0, dtype=np.int64)
+        else:
+            all_sh = [shingles_py(t, shingle_n) for t in text_s]
+        off = 0
+        for sh in all_sh:
             if not sh:
                 shs.append(None)
                 keys_out.append(None)
                 continue
             if portable:
-                # vectorized poly_hash31: left-pad to a char matrix and
-                # fold column-wise — leading zeros are identity under the
-                # polynomial (0·31^k), so padded == scalar fold exactly
-                # (pytest-pinned against poly_hash31); ~max_len vector ops
-                # per shingle SET instead of a Python loop per char
-                bs = [s.encode("ascii") for s in sh]  # spec is ASCII-only
-                ml = max(len(b) for b in bs)
-                M = np.zeros((len(bs), ml), dtype=np.int64)
-                for r_i, b in enumerate(bs):
-                    M[r_i, ml - len(b):] = np.frombuffer(b, dtype=np.uint8)
-                hv = np.zeros(len(bs), dtype=np.int64)
-                for j in range(ml):
-                    hv = (hv * 31 + M[:, j]) % P
-                h = hv[None, :]
+                h = hv_all[off:off + len(sh)][None, :]
+                off += len(sh)
             else:
                 h = np.array([crc32(s.encode("utf-8")) for s in sh],
                              dtype=np.int64)[None, :] % P
