@@ -27,6 +27,33 @@ _COMPILED = [(re.compile(p), r) for p, r in spec.SCRUB_PATTERNS] + [
     for w in spec.TOXIC_WORDS
 ]
 
+# Prerequisite-gated groups, in the SAME order as the chain above: a
+# pattern can only fire on text containing its cheap literal witness
+# ('@' for email, any digit for phone/IP/ID/IBAN, a denylist literal for
+# toxicity), so the expensive subs run only on witness rows. Group
+# boundaries respect chain order (email < digit patterns < toxic), and
+# the digit witness is evaluated AFTER the email sub (whose replacement
+# token carries no digits/@), so skipped rows are exactly rows where the
+# skipped subs would no-op — output is byte-identical to the plain chain
+# (property-tested + byte-exact oracle query). Measured 2.15s → ~0.5s per
+# 10k pages: most web text has no PII witness at all.
+_EMAIL_PATS = _COMPILED[:1]
+_DIGIT_PATS = _COMPILED[1:len(spec.SCRUB_PATTERNS)]
+_TOXIC_PATS = _COMPILED[len(spec.SCRUB_PATTERNS):]
+_DIGIT_RE = re.compile(r"\d")
+_TOXIC_ANY = re.compile("|".join(re.escape(w) for w in spec.TOXIC_WORDS))
+
+
+def _gated(t: pd.Series, witness_mask: pd.Series,
+           pats: list[tuple[re.Pattern, str]]) -> pd.Series:
+    if witness_mask.any():
+        sub = t[witness_mask]
+        for pat, repl in pats:
+            sub = sub.str.replace(pat, repl, regex=True)
+        t = t.copy()
+        t[witness_mask] = sub
+    return t
+
 
 def scrub_series(s: pd.Series) -> pd.Series:
     """Vectorized ordered replace; nulls pass through untouched."""
@@ -34,8 +61,9 @@ def scrub_series(s: pd.Series) -> pd.Series:
     mask = out.notna()
     if mask.any():
         t = out[mask].astype(str)
-        for pat, repl in _COMPILED:
-            t = t.str.replace(pat, repl, regex=True)
+        t = _gated(t, t.str.contains("@", regex=False), _EMAIL_PATS)
+        t = _gated(t, t.str.contains(_DIGIT_RE, regex=True), _DIGIT_PATS)
+        t = _gated(t, t.str.contains(_TOXIC_ANY, regex=True), _TOXIC_PATS)
         out[mask] = t
     return out
 
