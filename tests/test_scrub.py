@@ -70,3 +70,44 @@ def test_scrub_idempotent_property(artifacts):
     once = scrub_series(pdf["text"])
     twice = scrub_series(once)
     assert list(once.fillna("-")) == list(twice.fillna("-"))
+
+
+def test_witness_gating_equals_naive_chain():
+    """The witness-gated applier must be byte-identical to the plain
+    ordered chain — including the interaction edges the gating could get
+    wrong: digits that exist ONLY inside an email (consumed before the
+    digit witness is evaluated), witnesses with no actual match, toxic
+    literals inside larger words (witness hits, \\b sub doesn't), and the
+    synthetic corpus with its PII injections."""
+    import re
+
+    import numpy as np
+
+    from dataquality_spark import spec
+    from dataquality_spark.synth import gen_pages_pdf
+
+    comp = [(re.compile(p), r) for p, r in spec.SCRUB_PATTERNS] + [
+        (re.compile(rf"\b{re.escape(w)}\b"), spec.TOXIC_REPLACEMENT)
+        for w in spec.TOXIC_WORDS]
+
+    def naive(x):
+        if x is None:
+            return None
+        for p, r in comp:
+            x = p.sub(r, x)
+        return x
+
+    edge = [
+        "digits only here: a1b2c3@mail99.com and nothing else",  # email eats
+        "text with @ but no email shape",                        # witness, no match
+        "frakkingly unfrakking gorramless",                      # \b blocks subs
+        "plain text no witnesses at all",
+        "ip 10.0.0.1 and id 123-45-6789 and +1-234-567-8901",
+        "", None, "   ",
+    ]
+    pdf = gen_pages_pdf(np.arange(400), 7, 400)
+    s = pd.concat([pd.Series(edge, dtype=object), pdf["text"]],
+                  ignore_index=True)
+    got = scrub_series(s)
+    want = s.map(naive)
+    assert list(got.fillna("∅")) == list(want.fillna("∅"))
