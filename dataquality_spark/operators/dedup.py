@@ -503,12 +503,15 @@ def incremental_new_docs(new_docs: DataFrame, prior: DataFrame,
 
     Plan: content-hash both sides, LEFT ANTI join new⋉prior on the hash —
     a hash-partitioned join where only 8-byte hashes shuffle, never text
-    (the projection happens before the exchange). Bloom pre-filtering is
-    deliberately NOT hand-rolled: Spark ≥3.3 injects a runtime Bloom filter
-    on the streamed side of a selective shuffle join by itself
-    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default) —
-    declaring the anti-join and letting the optimizer place the filter is
-    the scale path, exactly as with DPP and AQE skew handling.
+    (the projection happens before the exchange). Note on runtime Bloom
+    pre-filtering: Spark ≥3.3's ``runtime.bloomFilter`` injection applies
+    to inner/semi joins only — under ANTI semantics a Bloom *miss* means
+    the row must be KEPT, so no membership sketch can prune the streamed
+    side (verified empirically: the semi form of this plan gets a
+    BloomFilterMightContain node, the anti form cannot). The pre-shuffle
+    reduction here is therefore the hash projection itself: per new-crawl
+    row, exactly 8 bytes cross the exchange regardless of document size,
+    and the prior side ships distinct hashes only.
     """
     prior_hashes = prior.select(
         TX.content_hash(F.col(prior_text_col or text_col)).alias("_ph"))

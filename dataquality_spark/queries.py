@@ -1891,8 +1891,9 @@ WHERE d.doc_id % 20 != 0
 # ---------------------------------------------------------------------------
 # Q47 — incremental snapshot dedup: keep only NEW-crawl docs whose content
 # key is unseen in the PRIOR corpus (`operators/dedup.py::
-# incremental_new_docs` — hash-projected LEFT ANTI join; Spark's runtime
-# Bloom filter is the pre-shuffle drop at scale). Content key here is a
+# incremental_new_docs` — hash-projected LEFT ANTI join: only 8-byte
+# hashes cross the shuffle; runtime Bloom injection does NOT apply to
+# anti-joins, see the operator docstring). Content key here is a
 # 40-char text prefix so the synthetic corpus exercises both branches.
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
