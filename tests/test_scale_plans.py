@@ -61,6 +61,55 @@ def test_audit_catches_a_real_violation(spark, scale_dir):
         assert not broadcast_scan_violations(ok, scale_dir)
 
 
+def test_runtime_bloom_semi_only_not_anti(spark, scale_dir, tmp_path):
+    """Pins the empirical basis for `incremental_new_docs`' docstring
+    (operators/dedup.py): Spark's runtime Bloom-filter injection fires for
+    the SEMI form of the hash-keyed join shape but can never fire for the
+    ANTI form (a Bloom miss must be KEPT under anti semantics). If a Spark
+    upgrade changes either branch, the docstring's scale story needs
+    re-auditing."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    d = str(tmp_path)
+    (spark.range(0, 20000)
+     .withColumn("h", F.xxhash64(F.col("id").cast("string")))
+     .write.mode("overwrite").parquet(os.path.join(d, "big.parquet")))
+    (spark.range(0, 20000)
+     .withColumn("ph", F.xxhash64((F.col("id") * 3).cast("string")))
+     .write.mode("overwrite").parquet(os.path.join(d, "small.parquet")))
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.read.parquet(os.path.join(d, "big.parquet"))
+        # selective filter makes the creation side bloom-eligible
+        small = (spark.read.parquet(os.path.join(d, "small.parquet"))
+                 .where(F.col("id") % 1000 == 0).select("ph"))
+
+        def has_bloom(how):
+            j = big.join(small, big["h"] == small["ph"], how)
+            plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+            return "bloom" in plan or "might_contain" in plan
+
+        assert has_bloom("left_semi"), \
+            "bloom no longer injected for semi — docstring basis changed"
+        assert not has_bloom("left_anti"), \
+            "bloom now injected for anti — update incremental_new_docs docs"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_fuzzy_dedup_plan_has_no_cartesian(spark, scale_dir):
     """The LSH candidate join must be an equi-join on bucket keys — never
     a (broadcast) nested-loop — at any scale."""
