@@ -165,18 +165,37 @@ def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
 
     def _poly_hash_flat(flat: list[bytes]) -> np.ndarray:
         """Vectorized poly_hash31 over EVERY shingle of the Arrow batch at
-        once: left-pad to one char matrix and fold column-wise — leading
+        once: left-pad to a char matrix and fold column-wise — leading
         zeros are identity under the polynomial (0·31^k), so padded ==
-        scalar fold exactly (pytest-pinned against poly_hash31). One
-        ~max_len-step fold per BATCH instead of a matrix build per row
-        (the per-row version measured 0.54s/5k docs vs crc32's 0.04s;
-        this form runs at crc32 speed)."""
-        ml = max(len(b) for b in flat)
-        buf = b"".join(bytes(ml - len(b)) + b for b in flat)
-        M = np.frombuffer(buf, dtype=np.uint8).reshape(len(flat), ml)
+        scalar fold exactly (pytest-pinned against poly_hash31). Shingles
+        are grouped into power-of-two LENGTH BANDS and padded only to the
+        band max (< 2× the shortest member), so one degenerate unbroken
+        token (base64 blob, minified source — whose whole text becomes a
+        single huge shingle) costs only its own bytes instead of inflating
+        every shingle in the batch to its length: padded memory stays
+        ≤ 2× total shingle bytes. Common crawls fit one band and run at
+        the single-matrix speed (the per-row version measured 0.54s/5k
+        docs vs crc32's 0.04s; this form runs at crc32 speed)."""
+        lens = np.fromiter((len(b) for b in flat), dtype=np.int64,
+                           count=len(flat))
         hv = np.zeros(len(flat), dtype=np.int64)
-        for j in range(ml):
-            hv = (hv * 31 + M[:, j]) % P
+        order = np.argsort(lens, kind="stable")
+        start, n = 0, len(flat)
+        while start < n:
+            l0 = int(lens[order[start]])
+            band_max = 1 << max(l0 - 1, 0).bit_length()  # next pow2 ≥ l0
+            end = start
+            while end < n and lens[order[end]] <= band_max:
+                end += 1
+            idx = order[start:end]
+            ml = int(lens[idx].max())
+            buf = b"".join(bytes(ml - len(flat[i])) + flat[i] for i in idx)
+            M = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), ml)
+            h = np.zeros(len(idx), dtype=np.int64)
+            for j in range(ml):
+                h = (h * 31 + M[:, j]) % P
+            hv[idx] = h
+            start = end
         return hv
 
     @F.pandas_udf("struct<sh: array<string>, bands: array<long>>")

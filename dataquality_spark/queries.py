@@ -1584,15 +1584,18 @@ def q_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(n²) compare work. Refuse loudly past the bound instead of OOMing a
     # 100 TB caller; the scale paths are embedding_near_dup_pairs (LSH)
     # and ivf_topk.
-    n_vecs = emb.count()
-    if n_vecs > COSINE_ALLPAIRS_MAX_ROWS:
+    # one bounded job instead of count()+collect() double scans: limit
+    # stops the scan at bound+1 rows, and under the bound it IS the
+    # collect (review-found: the count() pass re-read the whole table on
+    # every invocation just to validate the guard)
+    rows = emb.limit(COSINE_ALLPAIRS_MAX_ROWS + 1).collect()
+    if len(rows) > COSINE_ALLPAIRS_MAX_ROWS:
         raise ValueError(
             f"cosine_allpairs is the exact small-corpus baseline: "
-            f"{n_vecs} vectors > bound {COSINE_ALLPAIRS_MAX_ROWS}. Use "
+            f">{COSINE_ALLPAIRS_MAX_ROWS} vectors exceed the bound. Use "
             f"operators.similarity.embedding_near_dup_pairs (banded "
             f"hyperplane LSH + exact verify) or ivf_topk for large "
             f"corpora — same verify math, no driver collect.")
-    rows = emb.collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     M = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.sqrt((M * M).sum(axis=1))

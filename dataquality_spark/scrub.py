@@ -43,6 +43,24 @@ _TOXIC_PATS = _COMPILED[len(spec.SCRUB_PATTERNS):]
 _DIGIT_RE = re.compile(r"\d")
 _TOXIC_ANY = re.compile("|".join(re.escape(w) for w in spec.TOXIC_WORDS))
 
+# The gating above is POSITIONAL (pattern 0 ⇒ '@' witness, the rest of
+# SCRUB_PATTERNS ⇒ digit witness): pin the convention at import time so a
+# future digit-free pattern appended to spec.SCRUB_PATTERNS fails loudly
+# here instead of silently never firing on digit-free rows.
+assert "@" in spec.SCRUB_PATTERNS[0][0], \
+    "pattern 0 must be the email pattern (its witness is '@')"
+for _p, _r in spec.SCRUB_PATTERNS[1:]:
+    assert r"\d" in _p or "[0-9]" in _p, (
+        f"scrub pattern {_p!r} has no digit witness — extend the gating "
+        "groups in scrub.py before adding digit-free patterns")
+for _p, _r in spec.SCRUB_PATTERNS:
+    # replacement tokens must never introduce a later group's witness
+    # (or re-match any pattern — the idempotence property)
+    assert "@" not in _r and not _DIGIT_RE.search(_r), _r
+assert "@" not in spec.TOXIC_REPLACEMENT and \
+    not _DIGIT_RE.search(spec.TOXIC_REPLACEMENT)
+del _p, _r
+
 
 def _gated(t: pd.Series, witness_mask: pd.Series,
            pats: list[tuple[re.Pattern, str]]) -> pd.Series:

@@ -403,7 +403,11 @@ def test_portable_udf_batch_hash_equals_scalar(spark):
                                                    shingles_portable)
     texts = ["the quick brown fox jumps over the lazy dog",
              "chapter 12 begins chapter 13 ends", "one", "",
-             "a b c d e f g h i j k l m n o p q r s t"]
+             "a b c d e f g h i j k l m n o p q r s t",
+             # degenerate unbroken token (base64-blob shape): becomes ONE
+             # 20k-char shingle and must take the length-banded fold path
+             # without inflating every other shingle in the batch to 20k
+             "x" * 20_000]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     udf = shingle_bands_udf(3, bands=32, rows=2, signature_spec="portable")
     rows = (df.select(udf("text").alias("s"))

@@ -18,6 +18,28 @@ import pytest
 sys.path.insert(0, "/root/repo")
 from tools.verify_queries import canon  # noqa: E402
 
+
+def _assert_differential(spark, con, sf_dir: str, name: str) -> None:
+    """Run registry query `name` on Spark and its DuckDB oracle on the
+    same parquet, compare canonicalized multisets. Drains the queries
+    module's persist registry afterwards — several registry queries
+    (sequence_pack, decontaminate, the LSH family) pin MEMORY_AND_DISK
+    frames that would otherwise accumulate across the parametrized sweep
+    in the shared session."""
+    from dataquality_spark.queries import ORACLE_SQL, QUERIES, release_cached
+    sdf = QUERIES[name](spark, sf_dir)
+    try:
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    finally:
+        release_cached()
+    res = con.execute(ORACLE_SQL[name])
+    ocols = [c[0] for c in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), (scols, ocols)
+    assert len(srows) == len(orows)
+    assert canon(srows, scols) == canon(orows, ocols)
+
 WORDS = ["the", "данные", "café", "cafe\u0301", "nai\u0308ve",
          "A\u030a", "naïve", "東京", "spark", "sql", "a",
          "12", "3.14", "x1", "über", "łódź", "data2024", "e", "—", "...",
@@ -92,17 +114,8 @@ def diff_env(request, spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
 def test_differential_random_docs(spark, diff_env, name):
-    from dataquality_spark.queries import ORACLE_SQL, QUERIES
     sf_dir, con = diff_env
-    sdf = QUERIES[name](spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(ORACLE_SQL[name])
-    ocols = [c[0] for c in res.description]
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols), (scols, ocols)
-    assert len(srows) == len(orows)
-    assert canon(srows, scols) == canon(orows, ocols)
+    _assert_differential(spark, con, sf_dir, name)
 
 
 # --- events-table fuzz: windows, ties, nulls ------------------------------
@@ -149,17 +162,8 @@ def diff_events(request, spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", EVENT_QUERIES)
 def test_differential_random_events(spark, diff_events, name):
-    from dataquality_spark.queries import ORACLE_SQL, QUERIES
     sf_dir, con = diff_events
-    sdf = QUERIES[name](spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(ORACLE_SQL[name])
-    ocols = [c[0] for c in res.description]
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols), (scols, ocols)
-    assert len(srows) == len(orows)
-    assert canon(srows, scols) == canon(orows, ocols)
+    _assert_differential(spark, con, sf_dir, name)
 
 
 # --- orders/lineitem fuzz: joins, null propagation, float aggregation ------
@@ -228,17 +232,8 @@ def diff_orders(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", ORDER_QUERIES)
 def test_differential_random_orders(spark, diff_orders, name):
-    from dataquality_spark.queries import ORACLE_SQL, QUERIES
     sf_dir, con = diff_orders
-    sdf = QUERIES[name](spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(ORACLE_SQL[name])
-    ocols = [c[0] for c in res.description]
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols), (scols, ocols)
-    assert len(srows) == len(orows)
-    assert canon(srows, scols) == canon(orows, ocols)
+    _assert_differential(spark, con, sf_dir, name)
 
 
 # --- embeddings fuzz: cross-engine float-sum rounding ----------------------
@@ -279,14 +274,5 @@ def diff_embeddings(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", EMB_QUERIES)
 def test_differential_random_embeddings(spark, diff_embeddings, name):
-    from dataquality_spark.queries import ORACLE_SQL, QUERIES
     sf_dir, con = diff_embeddings
-    sdf = QUERIES[name](spark, sf_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    res = con.execute(ORACLE_SQL[name])
-    ocols = [c[0] for c in res.description]
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols), (scols, ocols)
-    assert len(srows) == len(orows)
-    assert canon(srows, scols) == canon(orows, ocols)
+    _assert_differential(spark, con, sf_dir, name)

@@ -50,19 +50,22 @@ def test_decontaminate_shuffle_join_over_bound(spark, monkeypatch):
     auto-broadcast from size ESTIMATES (correct: at real scale those
     estimates exceed the threshold), so isolate the hint by disabling
     auto-broadcast — any Broadcast node left can only come from our code."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.bench_scale import hints_only_broadcasts
     monkeypatch.setattr(Q, "DECONTAM_BROADCAST_MAX_NGRAMS", 0)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        out = Q.q_decontaminate(spark, SF)
-        plan = out._jdf.queryExecution().sparkPlan().toString()
-        assert "Join" in plan
-        assert "BroadcastHashJoin" not in plan, plan
-        # the branch stays value-correct
-        rows = out.collect()
-        assert all(r.n_hits >= 0 for r in rows)
+        # the shared helper also disables the ADAPTIVE threshold, so AQE
+        # can't re-plan an adaptive broadcast behind the assertion
+        with hints_only_broadcasts(spark):
+            out = Q.q_decontaminate(spark, SF)
+            plan = out._jdf.queryExecution().sparkPlan().toString()
+            assert "Join" in plan
+            assert "BroadcastHashJoin" not in plan, plan
+            # the branch stays value-correct
+            rows = out.collect()
+            assert all(r.n_hits >= 0 for r in rows)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         Q.release_cached()
 
 

@@ -59,6 +59,13 @@ def test_audit_catches_a_real_violation(spark, scale_dir):
         small = docs.groupBy("lang").count()
         ok = docs.join(F.broadcast(small), "lang")
         assert not broadcast_scan_violations(ok, scale_dir)
+        # ...and an aggregate in a SIBLING branch must not launder a raw
+        # scan in another branch of the same broadcast subtree
+        laundered = docs.join(
+            F.broadcast(small.join(docs.select("doc_id", "lang", "text"),
+                                   "lang")), ["lang", "doc_id"])
+        assert broadcast_scan_violations(laundered, scale_dir), \
+            "sibling-branch aggregate excused a raw scaled-table scan"
 
 
 def test_runtime_bloom_semi_only_not_anti(spark, scale_dir, tmp_path):
