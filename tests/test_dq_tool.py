@@ -1,0 +1,104 @@
+"""The interactive/CLI entry surface (`dq_tool.py`) — the terminal
+analogue of the reference's Streamlit UI flow (ui_tool/dq_ui.py:55-185):
+rule selection, metadata-driven typed parameter collection with the
+warn-and-default error path, two-level weight validation with uniform
+fallback, one-pass metrics, grade, run-log append + XLSX export."""
+
+import json
+
+import pytest
+
+import dq_tool
+
+
+def test_select_rules_rejects_unknown():
+    with pytest.raises(SystemExit, match="unknown rules"):
+        dq_tool.select_rules("min_words,nope", interactive=False)
+    assert dq_tool.select_rules(None, False) == dq_tool.known_rules()
+    assert dq_tool.select_rules("dedup, min_words", False) == [
+        "dedup", "min_words"]
+
+
+def test_gather_params_typed_and_loud_on_scripted_typos():
+    eff = dq_tool.gather_params(["min_words"], ["min_words=17"], False)
+    assert eff["min_words"] == 17
+    with pytest.raises(ValueError, match="unknown parameter"):
+        dq_tool.gather_params(["min_words"], ["not_a_param=1"], False)
+    with pytest.raises(SystemExit, match="name=value"):
+        dq_tool.gather_params([], ["malformed"], False)
+
+
+def test_gather_params_interactive_warns_and_defaults(monkeypatch, capsys):
+    """Invalid interactive input must warn and keep the default — the
+    reference UI's error path (dq_ui.py:110-117) — not crash."""
+    answers = iter(["bogus"])  # min_words := bogus → default
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers, ""))
+    eff = dq_tool.gather_params(["min_words"], [], True)
+    from dataquality_spark import spec
+    assert eff["min_words"] == spec.MIN_WORDS
+    assert "using default" in capsys.readouterr().err
+
+
+def _metrics():
+    return [
+        {"rule_id": "min_words", "pass_count": 8, "fail_count": 2,
+         "score": 0.8},
+        {"rule_id": "max_words", "pass_count": 6, "fail_count": 4,
+         "score": 0.6},
+        {"rule_id": "stopword_ratio", "pass_count": 10, "fail_count": 0,
+         "score": 1.0},
+    ]
+
+
+def test_grade_metrics_routes_weights_per_dimension(capsys):
+    # min/max_words are accuracy; their weights apply within accuracy only
+    dims, grade = dq_tool.grade_metrics(
+        _metrics(), "{'min_words': 0.25, 'max_words': 0.75}", "")
+    by = {d["dimension"]: d["score"] for d in dims}
+    assert by["accuracy"] == pytest.approx(0.25 * 0.8 + 0.75 * 0.6)
+    assert by["consistency"] == pytest.approx(1.0)
+    assert grade in ("Exceptional", "High", "Good", "Minimum",
+                     "Needs Improvement")
+
+
+def test_grade_metrics_invalid_weights_fall_back_uniform(capsys):
+    # sum < 1.0 is the reference's invalid case → warn + uniform
+    dims, _ = dq_tool.grade_metrics(
+        _metrics(), "{'min_words': 0.1, 'max_words': 0.1}", "")
+    by = {d["dimension"]: d["score"] for d in dims}
+    assert by["accuracy"] == pytest.approx((0.8 + 0.6) / 2)
+    assert "invalid" in capsys.readouterr().err
+
+
+def test_main_end_to_end_with_runlog(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.range(0, 50).selectExpr(
+        "cast(id as long) doc_id",
+        "concat('the of and a to word text sample number ', id) as text",
+        "'en' as lang", "cast(id as string) as url",
+        "current_timestamp() as warc_ts").write.parquet(src)
+    cat_dir = str(tmp_path / "cat")
+    xlsx = str(tmp_path / "log.xlsx")
+    rc = dq_tool.main([src, "--rules", "min_words,dedup",
+                       "--set", "min_words=3", "--head", "0",
+                       "--log-dir", cat_dir, "--export-xlsx", xlsx])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rules"]["min_words"] == 1.0
+    assert out["rules"]["dedup"] == 1.0  # no dup texts
+    assert out["grade"] == "Exceptional"
+    # run log landed in the catalog and round-trips through the
+    # reference-schema XLSX export
+    from dataquality_spark.sources.xlsx import read_xlsx
+    log = read_xlsx(spark, xlsx)
+    rows = {r["Test"]: r for r in log.collect()}
+    assert set(rows) == {"min_words", "dedup"}
+    assert rows["min_words"]["Score"] == "100.00%"  # reference :.2f format
+
+
+def test_main_dedup_without_id_cols_fails_loud(spark, tmp_path):
+    src = str(tmp_path / "nocols.parquet")
+    spark.range(0, 10).selectExpr("'x y z' as text", "'en' as lang") \
+        .write.parquet(src)
+    with pytest.raises(SystemExit, match="id-cols"):
+        dq_tool.main([src, "--rules", "dedup", "--head", "0"])
