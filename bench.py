@@ -90,6 +90,7 @@ HEADLINE_QUERIES = [
     "length_percentiles", "snapshot_diff", "substring_dedup",
     "mixture_rebalance", "sb_lm_score", "bm25_topk", "rolling_anomaly",
     "embedding_outliers", "bpe_pack", "region_revenue", "source_overlap",
+    "semdedup", "domain_blocklist",
 ]
 
 

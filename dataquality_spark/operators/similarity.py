@@ -398,3 +398,102 @@ def ivf_topk(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
             .where(F.col("rn") <= k)
             .select("query_id", "neighbor_id",
                     F.round("cos_sim", 6).alias("cos_sim"), "rn"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then deduplicate WITHIN each cluster only, so
+# the quadratic pairwise work is bounded by the cell size instead of the
+# corpus size. The paper clusters with k-means; this implementation uses
+# deterministic Rademacher (±1) hyperplane cells over integer-quantized
+# vectors so the cell assignment is a pure integer function of the embedding
+# — portable to any engine bit-for-bit, which is what lets the full
+# cluster→pairs→decision composition carry an EXACT DuckDB oracle
+# (`queries.py::_sql_semdedup`), unlike float-Gaussian LSH whose sign bits
+# are FP-rounding-sensitive at the hyperplane boundary.
+
+SEMDEDUP_LCG_A = 1103515245          # glibc rand() multiplier — public
+SEMDEDUP_LCG_C = 12345
+SEMDEDUP_LCG_M = 2 ** 31
+SEMDEDUP_SIGN_BIT = 16               # take a middle LCG bit (low bits cycle)
+SEMDEDUP_QUANT = 1_000_000           # fixed-point scale for the sign dot
+
+
+def rademacher_planes(dim: int, n_planes: int) -> np.ndarray:
+    """±1 plane matrix [n_planes, dim] from the portable LCG: plane p,
+    coordinate j draws bit SEMDEDUP_SIGN_BIT of lcg(p*dim + j)."""
+    idx = np.arange(n_planes * dim, dtype=np.int64)
+    s = (SEMDEDUP_LCG_A * idx + SEMDEDUP_LCG_C) % SEMDEDUP_LCG_M
+    bits = (s >> SEMDEDUP_SIGN_BIT) & 1
+    return (2 * bits - 1).reshape(n_planes, dim)
+
+
+def semantic_cell_udf(spark: SparkSession, dim: int, n_planes: int):
+    """vec → cell key: bit p of the key is 1 iff the Rademacher plane p has
+    a non-negative INTEGER dot with the fixed-point-quantized vector
+    (q_j = floor(v_j·QUANT + 0.5), exact int64 on every engine)."""
+    R = rademacher_planes(dim, n_planes)
+    b_r = spark.sparkContext.broadcast(R)
+
+    @F.pandas_udf("long")
+    def cell(vecs: pd.Series) -> pd.Series:
+        R_ = b_r.value
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        Q = np.floor(V * SEMDEDUP_QUANT + 0.5).astype(np.int64)
+        dots = Q @ R_.T                      # exact: |q|≤~2^21, dim 64
+        keys = np.zeros(len(V), dtype=np.int64)
+        for p in range(R_.shape[0]):
+            keys |= (dots[:, p] >= 0).astype(np.int64) << p
+        return pd.Series(keys)
+
+    return cell
+
+
+def semantic_dedup(spark: SparkSession, df: DataFrame,
+                   threshold: float = 0.999, n_planes: int = 6,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int | None = None,
+                   max_cell_size: int = 8192) -> DataFrame:
+    """Per-document semantic keep/drop: (id, cell, keep). A document is
+    dropped iff a LOWER-id document in the SAME cell has round(cos, 4) ≥
+    ``threshold`` — the paper's keep-one-per-duplicate-group rule made
+    deterministic (first-seen-wins by id, the house dedup convention).
+
+    Scale shape: one narrow shuffle on the cell key, then an applyInPandas
+    numpy matmul per cell — quadratic only within a cell. ``n_planes`` is
+    the scale knob (cells ≈ 2^n_planes): size it so E[cell] stays in the
+    thousands, exactly like SemDeDup sizes its k-means k ∝ corpus size. A
+    cell above ``max_cell_size`` fails loudly with that instruction instead
+    of silently going quadratic — mirroring the cosine_allpairs guard."""
+    if dim is None:
+        head = df.where(F.col(vec_col).isNotNull()).select(vec_col).head(1)
+        if not head:
+            return spark.createDataFrame(
+                [], f"{id_col} long, cell long, keep boolean")
+        dim = len(head[0][0])
+    df = _vec_guard(df, vec_col, dim)
+    cell = semantic_cell_udf(spark, dim, n_planes)
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
+             .withColumn("cell", cell(F.col("_v")))
+    thr = float(threshold)
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cell_size:
+            raise ValueError(
+                f"semantic_dedup cell {int(pdf['cell'].iloc[0])} holds "
+                f"{len(pdf)} > max_cell_size={max_cell_size} vectors — "
+                f"raise n_planes (cells ≈ 2^n_planes) so cells stay "
+                f"bounded; within-cell work is quadratic by design.")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        n = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
+        S = np.round((V @ V.T) / np.outer(n, n), 4)
+        drop = np.tril(S >= thr, k=-1).any(axis=1)
+        return pd.DataFrame({id_col: ids,
+                             "cell": pdf["cell"].iloc[0],
+                             "keep": ~drop})
+
+    return base.groupBy("cell").applyInPandas(
+        dedup_cell, f"{id_col} long, cell long, keep boolean")

@@ -2990,6 +2990,145 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s.fertility").alias("fertility")))
 
 
+# ---------------------------------------------------------------------------
+# Q79 — UT1/C4-style domain blocklist filtering: the crawl-curation stage
+# that drops pages from blocklisted hosts BEFORE any expensive downstream
+# work (RefinedWeb §3.1 uses the UT1 list; C4 its badwords list). Hosts are
+# synthesized per event row the same way `canonical_url` builds its messy
+# URLs (both engines build the SAME string), normalized (lowercase, strip
+# one leading "www."), aggregated to per-host counts FIRST, then LEFT-joined
+# to the categorized blocklist dim. Aggregate-then-join is the scale shape:
+# the join input shrinks from |pages| to |hosts| before any dim lookup; a
+# per-PAGE decision would instead broadcast the blocklist against the full
+# scan (fine too — UT1 is ~4M rows ≈ 10^-6 of a 10^12-page corpus, and a
+# bigger list falls back to a shuffle join exactly like `decontaminate`'s
+# size-gated branch).
+
+_BLOCKLIST_HOSTS: tuple[tuple[str, str], ...] = (
+    ("site0.example", "ads"),
+    ("site13.example", "adult"),
+    ("site27.example", "malware"),
+    ("site42.example", "tracker"),
+)
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.when(F.col("event_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".Example"))
+    host = F.regexp_replace(F.lower(raw), r"^www\.", "")
+    per_host = (ev.select(host.alias("host"))
+                .groupBy("host").agg(F.count(F.lit(1)).alias("n_events")))
+    bl = spark.createDataFrame(list(_BLOCKLIST_HOSTS),
+                               "host string, category string")
+    return (per_host.join(F.broadcast(bl), "host", "left")
+            .select("host", "n_events", "category",
+                    F.col("category").isNotNull().alias("blocked")))
+
+
+def _sql_domain_blocklist() -> str:
+    """Oracle generated from the SAME blocklist tuple the Spark side uses."""
+    values = ", ".join(f"('{h}', '{c}')" for h, c in _BLOCKLIST_HOSTS)
+    return f"""
+WITH bl(host, category) AS (VALUES {values}),
+hosts AS (
+  SELECT regexp_replace(lower(
+             CASE WHEN event_id % 2 = 0 THEN 'WWW.' ELSE '' END
+             || 'Site' || (user_id % 50)::varchar || '.Example'),
+         '^www\\.', '') AS host
+  FROM events
+),
+per_host AS (SELECT host, count(*)::bigint AS n_events
+             FROM hosts GROUP BY host)
+SELECT p.host, p.n_events, b.category, b.category IS NOT NULL AS blocked
+FROM per_host p LEFT JOIN bl b ON b.host = p.host
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q78 — SemDeDup semantic deduplication (Abbas et al. 2023): cluster the
+# embedding space into deterministic Rademacher-hyperplane cells, then drop
+# any vector with a lower-id same-cell neighbor at cos ≥ 0.999. The corpus
+# is augmented with a ×2-scaled shadow copy (cosine exactly 1) so the
+# decision surface is exercised on the driver's near-orthogonal fixture —
+# the same augmentation trick as `embedding_neardup`. EXACT oracle: the
+# cell key is a pure int64 function of the fixed-point-quantized embedding
+# (`operators/similarity.py::rademacher_planes`), so DuckDB reproduces the
+# full cluster→within-cell-pairs→keep composition bit-for-bit; the SQL is
+# generated from the operator's own LCG/quant constants so the two sides
+# cannot drift (the `_sql_fuzzy_dedup` pattern).
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.similarity import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    shadow = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    return semantic_dedup(spark, emb.unionByName(shadow),
+                          threshold=0.999, n_planes=6)
+
+
+def _sql_semdedup(n_planes: int = 6, dim: int = 64,
+                  threshold: float = 0.999) -> str:
+    """DuckDB mirror of the SemDeDup composition. Constants are imported
+    from the operator module — the oracle recomputes the ±1 planes from the
+    same LCG, the same floor(v·QUANT + 0.5) fixed-point dot, the same
+    first-seen-wins drop rule."""
+    from dataquality_spark.operators.similarity import (
+        SEMDEDUP_LCG_A, SEMDEDUP_LCG_C, SEMDEDUP_LCG_M, SEMDEDUP_QUANT,
+        SEMDEDUP_SIGN_BIT)
+    sign_div = 1 << SEMDEDUP_SIGN_BIT
+    return f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * 2.0)
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(x * {SEMDEDUP_QUANT} + 0.5) AS BIGINT)) AS q
+  FROM aug WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+),
+dots AS (
+  SELECT vec_id, pp.p AS p,
+         SUM((CASE WHEN ((({SEMDEDUP_LCG_A}::BIGINT * (pp.p * {dim} + jj.j)
+                           + {SEMDEDUP_LCG_C}) % {SEMDEDUP_LCG_M})
+                         // {sign_div}) % 2 = 1
+              THEN 1 ELSE -1 END) * q[jj.j + 1]) AS dot
+  FROM qv, range(0, {n_planes}) pp(p), range(0, {dim}) jj(j)
+  GROUP BY vec_id, pp.p
+),
+cells AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END)::BIGINT AS cell
+  FROM dots GROUP BY vec_id
+),
+pairs AS (
+  SELECT ca.vec_id AS id_a, cb.vec_id AS id_b
+  FROM cells ca
+  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+  JOIN qv a ON a.vec_id = ca.vec_id
+  JOIN qv b ON b.vec_id = cb.vec_id
+  WHERE round(
+      list_aggregate(list_transform(range(1, {dim} + 1),
+          i -> a.embedding[i] * b.embedding[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(range(1, {dim} + 1),
+             i -> a.embedding[i] * a.embedding[i]), 'sum'))
+         * sqrt(list_aggregate(list_transform(range(1, {dim} + 1),
+             i -> b.embedding[i] * b.embedding[i]), 'sum'))), 4)
+      >= {threshold}
+),
+dropped AS (SELECT DISTINCT id_b FROM pairs)
+SELECT c.vec_id, c.cell, d.id_b IS NULL AS keep
+FROM cells c LEFT JOIN dropped d ON d.id_b = c.vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heuristic_gate": q_heuristic_gate,
     "null_metrics": q_null_metrics,
@@ -3056,6 +3195,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "bpe_tokenize": q_bpe_tokenize,
+    "semdedup": q_semdedup,
+    "domain_blocklist": q_domain_blocklist,
     "domain_stats": q_domain_stats,
     "corpus_ngrams": q_corpus_ngrams,
     "length_percentiles": q_length_percentiles,
@@ -3073,6 +3214,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "fuzzy_dedup_decisions": _sql_fuzzy_dedup(),
+    "semdedup": _sql_semdedup(),
+    "domain_blocklist": _sql_domain_blocklist(),
     "heuristic_gate": _SQL_HEURISTIC_GATE,
     "null_metrics": _SQL_NULL_METRICS,
     "prefix_dup_rate": _SQL_PREFIX_DUP_RATE,

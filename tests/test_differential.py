@@ -124,6 +124,7 @@ EVENT_QUERIES = [
     "iqr_outliers", "iqr_group_score", "sessionize", "asof_join",
     "first_last_event", "hypertable_rollup", "topk_per_type",
     "numeric_coercion", "extract_numbers", "rolling_anomaly",
+    "domain_blocklist",
 ]
 
 
@@ -239,7 +240,7 @@ def test_differential_random_orders(spark, diff_orders, name):
 # --- embeddings fuzz: cross-engine float-sum rounding ----------------------
 
 EMB_QUERIES = ["embedding_knn", "cosine_allpairs", "ivf_knn",
-               "embedding_outliers"]
+               "embedding_outliers", "semdedup"]
 
 
 def _random_embeddings(n=200, dim=64, seed=77):

@@ -223,3 +223,91 @@ def test_embedding_ops_null_and_empty_guards(spark):
         "AS embedding", "label")
     out = embedding_near_dup_pairs(spark, nulled)
     out.count()  # must not raise
+
+
+# --- SemDeDup (semantic_dedup) ---------------------------------------------
+
+def _brute_semdedup(pdf, cells, threshold):
+    """Reference decision: drop iff a lower-id SAME-CELL vector has
+    round(cos, 4) >= threshold."""
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    V = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
+    c = np.array([cells[i] for i in ids], dtype=np.int64)
+    n = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
+    S = np.round((V @ V.T) / np.outer(n, n), 4)
+    same = c[:, None] == c[None, :]
+    drop = np.tril(same & (S >= threshold), k=-1).any(axis=1)
+    return dict(zip(ids.tolist(), (~drop).tolist()))
+
+
+def test_semdedup_single_cell_equals_bruteforce(spark):
+    """n_planes=0 puts everything in ONE cell, so the operator must equal
+    the plain all-pairs greedy decision."""
+    from dataquality_spark.operators.similarity import semantic_dedup
+    rng = np.random.RandomState(11)
+    base = rng.randn(12, 8)
+    rows = [(i, base[i].tolist()) for i in range(12)]
+    # plant near-dups: 12+i is a tiny perturbation of i (cos ~ 1)
+    rows += [(12 + i, (base[i] * 3.0 + rng.randn(8) * 1e-9).tolist())
+             for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.keep
+           for r in semantic_dedup(spark, df, threshold=0.999,
+                                   n_planes=0).collect()}
+    pdf = df.toPandas()
+    want = _brute_semdedup(pdf, {i: 0 for i in pdf.vec_id}, 0.999)
+    assert got == want
+    assert all(not got[12 + i] for i in range(4))   # clones dropped
+    assert all(got[i] for i in range(12))           # originals kept
+
+
+def test_semdedup_cells_partition_the_decision(spark):
+    """With cells on, the decision must equal the brute-force rule applied
+    PER CELL (cross-cell near-dups are invisible by design — the SemDeDup
+    trade: recall bounded by clustering, quadratic work bounded by cell)."""
+    from dataquality_spark.operators.similarity import (
+        rademacher_planes, semantic_dedup, SEMDEDUP_QUANT)
+    rng = np.random.RandomState(7)
+    V = rng.randn(60, 16)
+    V[30:] = V[:30] * 2.0 + rng.randn(30, 16) * 1e-9   # 30 planted clones
+    df = spark.createDataFrame(
+        [(i, V[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cell, r.keep)
+           for r in semantic_dedup(spark, df, threshold=0.999,
+                                   n_planes=4).collect()}
+    R = rademacher_planes(16, 4)
+    Q = np.floor(V * SEMDEDUP_QUANT + 0.5).astype(np.int64)
+    dots = Q @ R.T
+    cells = {}
+    for i in range(60):
+        key = 0
+        for p in range(4):
+            key |= int(dots[i, p] >= 0) << p
+        cells[i] = key
+    assert {i: c for i, (c, _) in got.items()} == cells
+    want = _brute_semdedup(df.toPandas(), cells, 0.999)
+    assert {i: k for i, (_, k) in got.items()} == want
+
+
+def test_semdedup_partition_invariance(spark):
+    from dataquality_spark.operators.similarity import semantic_dedup
+    rng = np.random.RandomState(3)
+    rows = [(i, v.tolist()) for i, v in enumerate(rng.randn(40, 8))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, semantic_dedup(
+        spark, df.repartition(1), n_planes=3).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        spark, df.repartition(13), n_planes=3).collect()))
+    assert a == b
+
+
+def test_semdedup_cell_cap_fails_loud(spark):
+    from dataquality_spark.operators.similarity import semantic_dedup
+    rng = np.random.RandomState(5)
+    rows = [(i, v.tolist()) for i, v in enumerate(rng.randn(30, 8))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="max_cell_size"):
+        semantic_dedup(spark, df, n_planes=0, max_cell_size=10).collect()
