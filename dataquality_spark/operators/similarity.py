@@ -471,7 +471,12 @@ def semantic_dedup(spark: SparkSession, df: DataFrame,
             return spark.createDataFrame(
                 [], f"{id_col} long, cell long, keep boolean")
         dim = len(head[0][0])
-    df = _vec_guard(df, vec_col, dim)
+    # beyond _vec_guard: a NULL ELEMENT inside a correct-length array would
+    # make the fixed-point cell key undefined (np.floor(NaN)→int64 is UB)
+    # while SQL SUM would skip the NULL term — drop such rows on both
+    # engines (the oracle mirrors this filter) so cell parity stays exact
+    df = _vec_guard(df, vec_col, dim).where(
+        ~F.exists(F.col(vec_col), lambda x: x.isNull()))
     cell = semantic_cell_udf(spark, dim, n_planes)
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
              .withColumn("cell", cell(F.col("_v")))

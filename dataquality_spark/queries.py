@@ -3066,8 +3066,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shadow = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    # dim pinned to the oracle's hardcoded 64: a dimension change must fail
+    # loudly (the guard drops wrong-length vectors on BOTH engines) instead
+    # of diverging silently, and the explicit value skips the head(1)
+    # inference job the operator would otherwise run
     return semantic_dedup(spark, emb.unionByName(shadow),
-                          threshold=0.999, n_planes=6)
+                          threshold=0.999, n_planes=6, dim=64)
 
 
 def _sql_semdedup(n_planes: int = 6, dim: int = 64,
@@ -3093,6 +3097,7 @@ qv AS (
          list_transform(embedding,
              x -> CAST(floor(x * {SEMDEDUP_QUANT} + 0.5) AS BIGINT)) AS q
   FROM aug WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ),
 dots AS (
   SELECT vec_id, pp.p AS p,

@@ -30,19 +30,31 @@ GRADES = [
 GRADE_FLOOR = "Needs Improvement"
 
 
+def parse_weights(weights):
+    """Smart-quote-sanitized ``literal_eval`` of a stringly-typed weights
+    dict (`core_operations.py:309`). Dicts pass through; returns None when
+    the string is not a dict literal. The single shared parser for the
+    library path AND the CLI (`dq_tool.py`) so quote handling cannot
+    drift between them."""
+    if isinstance(weights, dict):
+        return weights
+    try:
+        s = (str(weights).replace("‘", "'").replace("’", "'")
+             .replace("“", '"').replace("”", '"'))
+        d = literal_eval(s) if s.strip() else {}
+        return d if isinstance(d, dict) else None
+    except Exception:
+        return None
+
+
 def are_weights_valid(weights, scores: list[dict], kind: str = "test"
                       ) -> tuple[dict, bool]:
     """Validate a weights dict (or its string form) against a score list."""
     if weights == "" or weights == "{}":
         return {}, True
     if isinstance(weights, str):
-        try:
-            s = (weights.replace("‘", "'").replace("’", "'")
-                 .replace("“", '"').replace("”", '"'))
-            weights = literal_eval(s) if s.strip() else {}
-            if not isinstance(weights, dict):
-                return {}, False
-        except Exception:
+        weights = parse_weights(weights)
+        if weights is None:
             return {}, False
     try:
         if len(weights) != len(scores):

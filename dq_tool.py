@@ -31,10 +31,16 @@ Flow parity with the reference UI:
 Usage:
     python dq_tool.py data.parquet                      # all rules, defaults
     python dq_tool.py data.csv --interactive            # prompt-driven
-    python dq_tool.py data.parquet --rules min_words,dedup \
+    python dq_tool.py data.parquet --rules min_words,max_words,dedup \
         --set min_words=20 --set salt_buckets=32 \
-        --rule-weights "{'min_words': 0.7, 'dedup': 0.3}" \
+        --rule-weights "{'min_words': 0.4, 'max_words': 0.6}" \
         --log-dir /tmp/dq_catalog --export-xlsx /tmp/dq_log.xlsx
+
+Weights follow the reference's PER-DIMENSION contract (dq_ui.py collects
+them on one form per dimension): a dimension's weights must cover ALL of
+its selected rules and sum to >= 1.0, or that dimension warns and falls
+back to uniform. Above, min_words/max_words are both accuracy (0.4+0.6=1);
+dedup's dimension takes uniform weights.
 """
 
 from __future__ import annotations
@@ -86,7 +92,13 @@ def select_rules(arg: str | None, interactive: bool) -> list[str]:
     for r in known_rules():
         _say(f"  {r:16s} ({rule_dimension(r)})")
     raw = _prompt("Comma-separated rules [all]:")
-    return select_rules(raw or None, False)
+    try:
+        return select_rules(raw or None, False)
+    except SystemExit as e:
+        # interactive typos warn and fall back, like the parameter prompts
+        # (the reference UI's error path) — only scripted input dies loud
+        _say(f"  ! {e} — including all rules")
+        return known_rules()
 
 
 def gather_params(rule_ids: list[str], set_pairs: list[str],
@@ -156,27 +168,24 @@ def grade_metrics(metrics: list[dict], rule_weights, dim_weights
     weights, grade the dimension scores with (validated) dimension
     weights — the reference UI's two-level weighting, including its
     warn-and-fall-back-to-uniform path."""
-    from ast import literal_eval
+    from dataquality_spark.scoring import parse_weights
     by_dim: dict[str, list[dict]] = {}
     for m in metrics:
         by_dim.setdefault(rule_dimension(m["rule_id"]), []).append(
             {"test": m["rule_id"], "value": m["score"]})
     # the reference UI collects weights on per-dimension forms; the flat
-    # --rule-weights dict is parsed once here, then each dimension
-    # validates ITS subset (count + sum rules) and falls back to uniform
-    # with a warning — dq_ui.py:161-164 behavior
+    # --rule-weights dict is parsed once here (same sanitize+literal_eval
+    # as the library path), then each dimension validates ITS subset
+    # (count + sum rules) and falls back to uniform with a warning —
+    # dq_ui.py:161-164 behavior
     rw: dict = {}
     if rule_weights:
-        try:
-            rw = (literal_eval(str(rule_weights)
-                               .replace("‘", "'").replace("’", "'")
-                               .replace("“", '"').replace("”", '"'))
-                  if isinstance(rule_weights, str) else dict(rule_weights))
-            assert isinstance(rw, dict)
-        except Exception:
+        parsed = parse_weights(rule_weights)
+        if parsed is None:
             _say("! rule weights unparseable — using uniform defaults "
                  "(reference behavior)")
-            rw = {}
+        else:
+            rw = parsed
     dim_scores = []
     for d, scores in sorted(by_dim.items()):
         subset = {k: v for k, v in rw.items()
@@ -184,7 +193,8 @@ def grade_metrics(metrics: list[dict], rule_weights, dim_weights
         validated, ok = are_weights_valid(subset, scores) if subset \
             else ({}, True)
         if subset and not ok:
-            _say(f"! weights for dimension {d} invalid — using uniform "
+            _say(f"! weights for dimension {d} invalid (must cover ALL its "
+                 f"selected rules and sum to >= 1.0) — using uniform "
                  "defaults (reference behavior)")
         dim_scores.append(calculate_dimension_score(d, scores,
                                                     validated or {}))
@@ -220,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--head", type=int, default=5,
                     help="preview rows printed (0 to skip)")
     args = ap.parse_args(argv)
+    if args.export_xlsx and not args.log_dir:
+        # fail BEFORE any Spark work — the log lives in the catalog
+        raise SystemExit("--export-xlsx needs --log-dir (the log lives in "
+                         "the catalog)")
 
     rule_ids = select_rules(args.rules, args.interactive)
     params = gather_params(rule_ids, args.set, args.interactive)
@@ -240,7 +254,8 @@ def main(argv: list[str] | None = None) -> int:
 
     metrics = compute_metrics(spark, df, rule_ids, params,
                               args.text_col, args.lang_col,
-                              tuple(args.id_cols.split(",")))
+                              tuple(c.strip() for c in
+                                    args.id_cols.split(",") if c.strip()))
     dim_scores, grade = grade_metrics(metrics, args.rule_weights,
                                       args.dim_weights)
 
@@ -265,9 +280,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.export_xlsx:
             export_run_log_xlsx(spark, cat, args.export_xlsx)
             _say(f"run log exported: {args.export_xlsx}")
-    elif args.export_xlsx:
-        raise SystemExit("--export-xlsx needs --log-dir (the log lives in "
-                         "the catalog)")
 
     # the machine-readable result goes to STDOUT (stderr carries the chrome)
     print(json.dumps({

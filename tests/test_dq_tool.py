@@ -102,3 +102,40 @@ def test_main_dedup_without_id_cols_fails_loud(spark, tmp_path):
         .write.parquet(src)
     with pytest.raises(SystemExit, match="id-cols"):
         dq_tool.main([src, "--rules", "dedup", "--head", "0"])
+
+
+def test_interactive_rule_typo_warns_and_includes_all(monkeypatch, capsys):
+    """An interactive typo in the rule list must warn and fall back (the
+    parameter-prompt error path), not kill the session."""
+    answers = iter(["min_words, dedop"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(answers, ""))
+    assert dq_tool.select_rules(None, True) == dq_tool.known_rules()
+    assert "including all rules" in capsys.readouterr().err
+
+
+def test_docstring_weights_example_is_accepted(capsys):
+    """The module docstring's own --rule-weights example must validate:
+    per-dimension contract, accuracy = {min_words: 0.4, max_words: 0.6}."""
+    dims, _ = dq_tool.grade_metrics(
+        _metrics(), "{'min_words': 0.4, 'max_words': 0.6}", "")
+    by = {d["dimension"]: d["score"] for d in dims}
+    assert by["accuracy"] == pytest.approx(0.4 * 0.8 + 0.6 * 0.6)
+    assert "invalid" not in capsys.readouterr().err
+
+
+def test_export_xlsx_without_log_dir_fails_before_spark():
+    """The flag error must surface straight from argparse handling — no
+    Spark session, no dataset read (path doesn't even exist)."""
+    with pytest.raises(SystemExit, match="log-dir"):
+        dq_tool.main(["/nonexistent.parquet", "--export-xlsx", "/tmp/x.xlsx"])
+
+
+def test_id_cols_whitespace_stripped(spark, tmp_path):
+    src = str(tmp_path / "ws.parquet")
+    spark.range(0, 10).selectExpr(
+        "concat('a b c d e f ', id) as text", "'en' as lang",
+        "cast(id as string) as url", "current_timestamp() as warc_ts") \
+        .write.parquet(src)
+    rc = dq_tool.main([src, "--rules", "dedup", "--head", "0",
+                       "--id-cols", "warc_ts, url"])
+    assert rc == 0

@@ -311,3 +311,17 @@ def test_semdedup_cell_cap_fails_loud(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="max_cell_size"):
         semantic_dedup(spark, df, n_planes=0, max_cell_size=10).collect()
+
+
+def test_semdedup_null_element_rows_dropped(spark):
+    """A NULL ELEMENT inside a correct-length array must be dropped (its
+    fixed-point cell key would be undefined in numpy while SQL SUM skips
+    the NULL term — the oracle mirrors the same filter)."""
+    from dataquality_spark.operators.similarity import semantic_dedup
+    rows = [(0, [1.0, 2.0, 3.0, 4.0]),
+            (1, [1.0, None, 3.0, 4.0]),       # null element → dropped
+            (2, [-1.0, 0.5, -2.0, 0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = semantic_dedup(spark, df, n_planes=2, dim=4).collect()
+    assert sorted(r.vec_id for r in got) == [0, 2]
+    assert all(r.keep for r in got)
