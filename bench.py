@@ -105,6 +105,10 @@ def main():
 
     sf = sf_from_dir(sf_dir)
     n_pages = max(2000, int(6_000_000 * sf))
+    # explicit corpus-size override: the scaling harness (bench_scaling.py)
+    # pins a row floor so the ratio measures steady-state throughput, not
+    # fixed job/JVM/commit costs (see BENCH/BASELINE.md scaling-history note)
+    n_pages = int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS", n_pages))
     spark = get_spark(app_name="dq_bench", master=f"local[{cpus}]")
     log(f"bench: sf={sf} sf_dir={sf_dir} cpus={cpus} n_pages={n_pages}")
 

