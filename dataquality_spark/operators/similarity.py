@@ -450,10 +450,11 @@ def semantic_cell_udf(spark: SparkSession, dim: int, n_planes: int):
 
 
 def semantic_dedup(spark: SparkSession, df: DataFrame,
-                   threshold: float = 0.999, n_planes: int = 6,
+                   threshold: float = 0.999, n_planes: int | str = 6,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dim: int | None = None,
-                   max_cell_size: int = 8192) -> DataFrame:
+                   max_cell_size: int = 8192,
+                   target_cell_rows: int = 1024) -> DataFrame:
     """Per-document semantic keep/drop: (id, cell, keep). A document is
     dropped iff a LOWER-id document in the SAME cell has round(cos, 4) ≥
     ``threshold`` — the paper's keep-one-per-duplicate-group rule made
@@ -462,9 +463,12 @@ def semantic_dedup(spark: SparkSession, df: DataFrame,
     Scale shape: one narrow shuffle on the cell key, then an applyInPandas
     numpy matmul per cell — quadratic only within a cell. ``n_planes`` is
     the scale knob (cells ≈ 2^n_planes): size it so E[cell] stays in the
-    thousands, exactly like SemDeDup sizes its k-means k ∝ corpus size. A
-    cell above ``max_cell_size`` fails loudly with that instruction instead
-    of silently going quadratic — mirroring the cosine_allpairs guard."""
+    thousands, exactly like SemDeDup sizes its k-means k ∝ corpus size.
+    ``n_planes="auto"`` picks it from the corpus — the smallest p with
+    E[cell] = n/2^p ≤ ``target_cell_rows`` (one count job, same contract
+    as ``salt_buckets="auto"`` on the exact-dedup path). A cell above
+    ``max_cell_size`` fails loudly with that instruction instead of
+    silently going quadratic — mirroring the cosine_allpairs guard."""
     if dim is None:
         head = df.where(F.col(vec_col).isNotNull()).select(vec_col).head(1)
         if not head:
@@ -477,6 +481,14 @@ def semantic_dedup(spark: SparkSession, df: DataFrame,
     # engines (the oracle mirrors this filter) so cell parity stays exact
     df = _vec_guard(df, vec_col, dim).where(
         ~F.exists(F.col(vec_col), lambda x: x.isNull()))
+    if n_planes == "auto":
+        # smallest p with n/2^p ≤ target_cell_rows, capped at 62 (the cell
+        # key is an int64 bit field); integer loop avoids log2 FP edges
+        n = df.count()
+        p = 0
+        while n > target_cell_rows * (1 << p) and p < 62:
+            p += 1
+        n_planes = p
     cell = semantic_cell_udf(spark, dim, n_planes)
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")) \
              .withColumn("cell", cell(F.col("_v")))

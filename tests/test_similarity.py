@@ -325,3 +325,25 @@ def test_semdedup_null_element_rows_dropped(spark):
     got = semantic_dedup(spark, df, n_planes=2, dim=4).collect()
     assert sorted(r.vec_id for r in got) == [0, 2]
     assert all(r.keep for r in got)
+
+
+def test_semdedup_auto_planes_matches_explicit(spark):
+    """n_planes="auto" must resolve to the smallest p with n/2^p ≤
+    target_cell_rows and give byte-identical decisions to that explicit p
+    (40 rows, target 8 → p=3: 40/8 = 5 ≤ 8; 40/4 = 10 > 8 at p=2)."""
+    from dataquality_spark.operators.similarity import semantic_dedup
+    rng = np.random.RandomState(17)
+    rows = [(i, v.tolist()) for i, v in enumerate(rng.randn(40, 8))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = sorted(map(tuple, semantic_dedup(
+        spark, df, n_planes="auto", target_cell_rows=8).collect()))
+    explicit = sorted(map(tuple, semantic_dedup(
+        spark, df, n_planes=3).collect()))
+    assert auto == explicit
+    # tiny corpus (n ≤ target) → single cell, i.e. the exact greedy rule
+    tiny = df.where("vec_id < 6")
+    auto0 = sorted(map(tuple, semantic_dedup(
+        spark, tiny, n_planes="auto", target_cell_rows=8).collect()))
+    exact = sorted(map(tuple, semantic_dedup(
+        spark, tiny, n_planes=0).collect()))
+    assert auto0 == exact
