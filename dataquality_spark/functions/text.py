@@ -55,6 +55,18 @@ def alpha_ratio_rx(text: Column, wc: Column) -> Column:
     return F.when(wc > 0, (wc - non_alpha) / wc).otherwise(F.lit(None))
 
 
+def fold_lower(text: Column) -> Column:
+    """lower() with U+0130 (İ) pre-folded to 'I' — the ONE unconditional
+    Unicode lowercase expansion: full case mapping (JVM/CPython) gives
+    'i'+U+0307 while simple folding (DuckDB utf8proc) gives 'i', so a raw
+    lower() makes token identity engine-dependent. Folding before lower()
+    yields 'i' on every engine; the DuckDB mirror is
+    ``lower(translate(x, 'İ', 'I'))`` (found by the differential fuzzer:
+    a lone 'İ' token matched the it/sv/da/no/pl stopword 'i' in the oracle
+    but not in Spark)."""
+    return F.lower(F.translate(text, "İ", "I"))
+
+
 def stopword_count_rx(text: Column, lang: Column) -> Column:
     """Tokens exactly equal to a stop word, via one alternation pass per
     language branch (CASE WHEN → only the matching branch runs)."""
@@ -62,7 +74,7 @@ def stopword_count_rx(text: Column, lang: Column) -> Column:
         alts = "|".join(sorted(words, key=len, reverse=True))
         pat = rf"(^|\s)({alts})(?=\s|$)"
         return F.coalesce(
-            F.regexp_count(F.lower(text), F.lit(pat)), F.lit(0)).cast("long")
+            F.regexp_count(fold_lower(text), F.lit(pat)), F.lit(0)).cast("long")
 
     expr = None
     for lg in spec.LANGS:
@@ -126,7 +138,7 @@ def stopword_count(words: Column, lang: Column) -> Column:
     def count_in(stop_list: list[str]) -> Column:
         arr = F.array(*[F.lit(w) for w in stop_list])
         return F.size(
-            F.filter(words, lambda w: F.array_contains(arr, F.lower(w)))
+            F.filter(words, lambda w: F.array_contains(arr, fold_lower(w)))
         ).cast("long")
 
     expr = None

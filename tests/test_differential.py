@@ -43,8 +43,16 @@ def _assert_differential(spark, con, sf_dir: str, name: str) -> None:
 WORDS = ["the", "данные", "café", "cafe\u0301", "nai\u0308ve",
          "A\u030a", "naïve", "東京", "spark", "sql", "a",
          "12", "3.14", "x1", "über", "łódź", "data2024", "e", "—", "...",
-         "word", "WORD", "WoRd", "'quoted'", "(paren)", "semi;colon"]
-WS = [" ", "  ", "\t", "\n", " \n ", " "]
+         "word", "WORD", "WoRd", "'quoted'", "(paren)", "semi;colon",
+         # adversarial parity probes (each pins a cross-engine edge):
+         "nb\u00a0sp",       # NBSP inside a token: Unicode-ws in CPython \\s, not Java/RE2
+         "\u0663\u0664\u0665",  # Arabic-Indic digits: Unicode Nd, not [0-9]
+         "\U0001d54f\U0001f600x",  # non-BMP: UTF-16 surrogate pairs in the JVM
+         "\u0130stanbul",    # dotted capital I: lower() differs by engine/locale
+         "ab" * 150,        # 300-char token: langid MAX_CHARS truncates mid-word
+         "\u2167",           # Roman numeral VIII: Unicode Nl, never \\d
+         ]
+WS = [" ", "  ", "\t", "\n", " \n ", " ", "\r\n"]
 
 
 def _random_docs(n=300, seed=99):
