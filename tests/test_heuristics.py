@@ -162,3 +162,31 @@ def test_canonical_url_literal_ampersand_path_preserved(spark):
     got = {r["u"]: r["c"] for r in
            df.select("u", canonical_url(F.col("u")).alias("c")).collect()}
     assert got == cases
+
+
+def test_stopword_dotted_i_fold(spark):
+    """U+0130 ('İ') is the one codepoint where full lowercasing (JVM/CPython:
+    'i'+U+0307) and simple folding (DuckDB: 'i') disagree. TX.fold_lower
+    pre-folds İ→I on both engines so a lone 'İ' counts as the it/sv/da/no/pl
+    stopword 'i' identically everywhere (found by the differential fuzzer)."""
+    from dataquality_spark.functions.text import stopword_count_rx
+
+    df = spark.createDataFrame(
+        [("İ e non İstanbul", "it"),   # 'İ' → stopword 'i'; 'e' + 'non' too
+         ("İ word", "en")],            # 'i' is not in the en stoplist
+        "text string, lang string")
+    got = {r.text: r.sc for r in df.select(
+        "text", stopword_count_rx(F.col("text"), F.col("lang")).alias("sc")
+    ).collect()}
+    assert got["İ e non İstanbul"] == 3   # İ→i, e, non ('İstanbul' is no stopword)
+    assert got["İ word"] == 0
+    # DuckDB oracle mirror gives the same counts
+    import duckdb
+    from dataquality_spark.spec import STOPWORDS
+    stoplist = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["it"]) + "]"
+    n = duckdb.connect().execute(
+        "SELECT len(list_filter(list_filter("
+        "regexp_split_to_array('İ e non İstanbul', '\\s+'), x -> x <> ''), "
+        f"x -> list_contains({stoplist}, lower(translate(x, 'İ', 'I')))))"
+    ).fetchone()[0]
+    assert n == 3
