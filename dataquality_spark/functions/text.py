@@ -55,26 +55,25 @@ def alpha_ratio_rx(text: Column, wc: Column) -> Column:
     return F.when(wc > 0, (wc - non_alpha) / wc).otherwise(F.lit(None))
 
 
-def fold_lower(text: Column) -> Column:
-    """lower() with U+0130 (İ) pre-folded to 'I' — the ONE unconditional
-    Unicode lowercase expansion: full case mapping (JVM/CPython) gives
-    'i'+U+0307 while simple folding (DuckDB utf8proc) gives 'i', so a raw
-    lower() makes token identity engine-dependent. Folding before lower()
-    yields 'i' on every engine; the DuckDB mirror is
-    ``lower(translate(x, 'İ', 'I'))`` (found by the differential fuzzer:
-    a lone 'İ' token matched the it/sv/da/no/pl stopword 'i' in the oracle
-    but not in Spark)."""
-    return F.lower(F.translate(text, "İ", "I"))
-
-
 def stopword_count_rx(text: Column, lang: Column) -> Column:
     """Tokens exactly equal to a stop word, via one alternation pass per
-    language branch (CASE WHEN → only the matching branch runs)."""
+    language branch (CASE WHEN → only the matching branch runs).
+
+    Case mapping: Spark's lower() applies FULL Unicode mapping ('İ' →
+    'i'+U+0307), DuckDB's the simple fold ('İ' → 'i') — U+0130 is the one
+    unconditional difference, and it made a lone 'İ' match the it/sv/da/
+    no/pl stopword 'i' in the oracle but not here (found by the
+    differential fuzzer). The shim lives on the ORACLE side
+    (queries._sql_full_lower mimics full mapping with a literal replace):
+    an engine-side pre-fold was measured to blow the rules stage's
+    generated code past the JIT threshold — 13 extra translate calls in
+    the CASE branches took the whole projection 5.9s → 34s at
+    600k/local[32]."""
     def count_for(words: list[str]) -> Column:
         alts = "|".join(sorted(words, key=len, reverse=True))
         pat = rf"(^|\s)({alts})(?=\s|$)"
         return F.coalesce(
-            F.regexp_count(fold_lower(text), F.lit(pat)), F.lit(0)).cast("long")
+            F.regexp_count(F.lower(text), F.lit(pat)), F.lit(0)).cast("long")
 
     expr = None
     for lg in spec.LANGS:
@@ -138,7 +137,7 @@ def stopword_count(words: Column, lang: Column) -> Column:
     def count_in(stop_list: list[str]) -> Column:
         arr = F.array(*[F.lit(w) for w in stop_list])
         return F.size(
-            F.filter(words, lambda w: F.array_contains(arr, fold_lower(w)))
+            F.filter(words, lambda w: F.array_contains(arr, F.lower(w)))
         ).cast("long")
 
     expr = None

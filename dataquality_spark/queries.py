@@ -79,17 +79,26 @@ _SQL_WORDS = ("list_filter(regexp_split_to_array(text, '\\s+'), "
               "x -> x <> '')")
 
 
+def _sql_full_lower(x: str) -> str:
+    """DuckDB mirror of Spark/CPython FULL-Unicode lower(): utf8proc's
+    simple fold maps U+0130 ('İ') to 'i' while full mapping gives
+    'i'+U+0307 — the one unconditional difference, so a literal replace
+    before lower() makes the oracle's token identity match the engine's.
+    The shim is oracle-side only: folding on the Spark side measurably
+    blew the rules projection's generated code past the JIT threshold
+    (5.9s → 34s at 600k/local[32])."""
+    return f"lower(replace({x}, 'İ', 'i' || chr(775)))"
+
+
 def _sql_stop_cnt() -> str:
-    # lower(translate(x,'İ','I')) mirrors TX.fold_lower: U+0130 is the one
-    # codepoint where full (JVM) and simple (DuckDB) lowercasing disagree
     branches = " ".join(
         f"WHEN lang = '{lg}' THEN len(list_filter({_SQL_WORDS}, "
-        f"x -> list_contains({_sql_stoplist(lg)}, lower(translate(x, 'İ', 'I')))))"
+        f"x -> list_contains({_sql_stoplist(lg)}, {_sql_full_lower('x')})))"
         for lg in _DOC_LANGS
     )
     return (f"CASE {branches} ELSE len(list_filter({_SQL_WORDS}, "
             f"x -> list_contains({_sql_stoplist('en')}, "
-            f"lower(translate(x, 'İ', 'I'))))) END")
+            f"{_sql_full_lower('x')}))) END")
 
 
 # ---------------------------------------------------------------------------
@@ -2358,8 +2367,7 @@ def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # split-then-filter (NEVER trim: SQL trim strips unicode spaces, Spark's
     # strips ASCII space only — the documented _SQL_WORDS convention)
-    ws = F.filter(F.split(TX.fold_lower(F.col("text")), r"\s+"),
-                  lambda x: x != "")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     # guard BEFORE sequence(): Spark's sequence(1, n) with n < 1 counts DOWN
     # ([1, 0]), it is not empty — so short docs must never reach it
     grams = F.transform(
@@ -2376,7 +2384,7 @@ def q_corpus_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CORPUS_NGRAMS = """
 WITH w AS (
-  SELECT list_filter(string_split_regex(lower(translate(text, 'İ', 'I')), '\\s+'),
+  SELECT list_filter(string_split_regex(lower(replace(text, 'İ', 'i' || chr(775))), '\\s+'),
                      x -> x <> '') AS ws
   FROM documents WHERE text IS NOT NULL
 )
@@ -2588,8 +2596,7 @@ ORDER BY r.source
 
 def q_sb_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(F.split(TX.fold_lower(F.col("text")), r"\s+"),
-                  lambda x: x != "")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     allb = (docs.where(F.col("text").isNotNull())
             .select("doc_id", ws.alias("ws")))
     # counts train on the 90% split, scoring runs on the HELD-OUT 10% —
@@ -2633,7 +2640,7 @@ def q_sb_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SB_LM_SCORE = """
 WITH allb AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(translate(text, 'İ', 'I')), '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(replace(text, 'İ', 'i' || chr(775))), '\\s+'),
                              x -> x <> '') AS ws
   FROM documents WHERE text IS NOT NULL
 ), toks AS (
@@ -2693,8 +2700,7 @@ _BM25_QUERIES: list[tuple[str, list[str]]] = [
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(F.split(TX.fold_lower(F.col("text")), r"\s+"),
-                  lambda x: x != "")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     base = (docs.where(F.col("text").isNotNull())
             .select("doc_id", ws.alias("ws"))
             .select("doc_id", "ws", F.size("ws").alias("dl")))
@@ -2727,7 +2733,7 @@ def _sql_bm25() -> str:
     return f"""
 WITH qt(query, w) AS (VALUES {vals}),
 base AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(translate(text, 'İ', 'I')), '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(lower(replace(text, 'İ', 'i' || chr(775))), '\\s+'),
                              x -> x <> '') AS ws
   FROM documents WHERE text IS NOT NULL
 ), d AS (

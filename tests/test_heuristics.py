@@ -164,21 +164,26 @@ def test_canonical_url_literal_ampersand_path_preserved(spark):
     assert got == cases
 
 
-def test_stopword_dotted_i_fold(spark):
+def test_stopword_dotted_i_full_mapping(spark):
     """U+0130 ('İ') is the one codepoint where full lowercasing (JVM/CPython:
-    'i'+U+0307) and simple folding (DuckDB: 'i') disagree. TX.fold_lower
-    pre-folds İ→I on both engines so a lone 'İ' counts as the it/sv/da/no/pl
-    stopword 'i' identically everywhere (found by the differential fuzzer)."""
+    'i'+U+0307) and simple folding (DuckDB: 'i') disagree; without a shim a
+    lone 'İ' matched the Italian stopword 'i' in the oracle but not in Spark
+    (found by the differential fuzzer). The shim lives on the ORACLE side
+    (queries._sql_full_lower) — an engine-side pre-fold blew the rules
+    projection's generated code past the JIT threshold (5.9s → 34s). Under
+    full mapping 'İ' lowers to 'i̇' and is NOT the stopword 'i', on either
+    engine."""
     from dataquality_spark.functions.text import stopword_count_rx
+    from dataquality_spark.queries import _sql_full_lower
 
     df = spark.createDataFrame(
-        [("İ e non İstanbul", "it"),   # 'İ' → stopword 'i'; 'e' + 'non' too
-         ("İ word", "en")],            # 'i' is not in the en stoplist
+        [("İ e non İstanbul", "it"),   # 'e' + 'non' count; 'İ' → 'i̇' ≠ 'i'
+         ("İ word", "en")],            # 'i' is not in the en stoplist anyway
         "text string, lang string")
     got = {r.text: r.sc for r in df.select(
         "text", stopword_count_rx(F.col("text"), F.col("lang")).alias("sc")
     ).collect()}
-    assert got["İ e non İstanbul"] == 3   # İ→i, e, non ('İstanbul' is no stopword)
+    assert got["İ e non İstanbul"] == 2
     assert got["İ word"] == 0
     # DuckDB oracle mirror gives the same counts
     import duckdb
@@ -187,6 +192,6 @@ def test_stopword_dotted_i_fold(spark):
     n = duckdb.connect().execute(
         "SELECT len(list_filter(list_filter("
         "regexp_split_to_array('İ e non İstanbul', '\\s+'), x -> x <> ''), "
-        f"x -> list_contains({stoplist}, lower(translate(x, 'İ', 'I')))))"
+        f"x -> list_contains({stoplist}, {_sql_full_lower('x')})))"
     ).fetchone()[0]
-    assert n == 3
+    assert n == 2
