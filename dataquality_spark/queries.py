@@ -1621,14 +1621,32 @@ def q_cosine_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             aid = pdf["vec_id"].to_numpy(dtype=np.int64)
             an = np.sqrt((A * A).sum(axis=1))
-            sims = np.round((A @ M_.T) / np.outer(an, n_), 4)
-            ia, ib = np.nonzero((sims >= 0.35)
+            sims = (A @ M_.T) / np.outer(an, n_)
+            # margin: numpy's SIMD-blocked dot differs from a sequential
+            # fold in the last ulp, which can flip round(·, 4) at a knife
+            # edge AND membership at the 0.35 cut (the embeddings fuzzer
+            # caught the same class on ivf_knn). numpy only NOMINATES here
+            # — the exact sequential fold below decides membership + value.
+            ia, ib = np.nonzero((sims >= 0.35 - 1e-3)
                                 & (aid[:, None] < ids_[None, :]))
-            yield pd.DataFrame({"id_a": aid[ia], "id_b": ids_[ib],
-                                "cos_sim": sims[ia, ib]})
+            yield pd.DataFrame({"id_a": aid[ia], "id_b": ids_[ib]})
 
-    return emb.mapInPandas(
-        blocks, "id_a long, id_b long, cos_sim double")
+    cand = emb.mapInPandas(blocks, "id_a long, id_b long")
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ae"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("be"))
+    dot = F.aggregate(
+        F.zip_with("ae", "be", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(
+        "ae", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(
+        "be", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return (cand.join(ea, "id_a").join(eb, "id_b")
+            .select("id_a", "id_b",
+                    F.round(dot / (na * nb), 4).alias("cos_sim"))
+            .where(F.col("cos_sim") >= 0.35))
 
 
 _SQL_COSINE_ALLPAIRS = """
@@ -1662,10 +1680,35 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 6-digit similarity, the oracle comparison 4-digit — a 4-digit tie at
     # the k boundary must not be cut before the re-rank below
     raw = ivf_topk(spark, emb, queries, k=10, n_cells=16, nprobe=16)
+    # Re-derive the reported similarity with the SAME sequential fold the
+    # oracle uses: the operator's numpy rerank sums in SIMD-blocked order,
+    # and its last-ulp noise can split round(·, 4) at a knife edge (the
+    # embeddings fuzzer caught 0.26925 rounding 0.2693 vs 0.2692). The
+    # numpy path still picks the candidates — this join touches only
+    # n_queries × k rows.
+    qe = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"))
+    ce = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ce"))
+    # plain joins: candidates are n_queries × k rows, so AQE's
+    # size-estimate broadcast picks them up at runtime — a HINT here
+    # would flag the scale audit (hint-broadcasting a scaled scan)
+    cand = (raw.select("query_id", "neighbor_id")
+            .join(qe, "query_id")
+            .join(ce, "neighbor_id"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+    nq = F.sqrt(F.aggregate(F.transform(
+        "qe", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    nc = F.sqrt(F.aggregate(F.transform(
+        "ce", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim4"), F.asc("neighbor_id"))
-    return (raw.select("query_id", "neighbor_id",
-                       F.round("cos_sim", 4).alias("sim4"))
+    return (cand.select("query_id", "neighbor_id",
+                        F.round(dot / (nq * nc), 4).alias("sim4"))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3)
             .select("query_id", "neighbor_id",
