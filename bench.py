@@ -126,7 +126,7 @@ def main():
     warm = ensure_pages(spark, max(5000, n_pages // 10), seed=7)
     from dataquality_spark import pipeline as P
     from dataquality_spark.models import quality
-    quality.train_quality()
+    quality.load_quantized_artifact()  # the registered query's artifact
     cleanup = []
     ann = P.run_pipeline(spark, spark.read.parquet(warm), cleanup=cleanup)
     shutil.rmtree("/tmp/dq_bench_warm_out", ignore_errors=True)
@@ -156,10 +156,10 @@ def main():
              .write.format("noop").mode("overwrite").save())
             qsecs[name] = round(time.time() - t0, 3)
             n = obs.get["n"]
-            # drain persists the query pinned (LSH signature frames,
-            # prefix-sum range partitioning) — outside the timed region:
-            # release is bookkeeping, not query work
-            Q.release_cached()
+            # release THIS query's pins (LSH signature frames, prefix-sum
+            # range partitioning) — outside the timed region: release is
+            # bookkeeping, not query work
+            Q.release_cached(out)
             log(f"query {name}: {qsecs[name]}s ({n} rows)")
 
     total = round(sum(qsecs.values()), 3)

@@ -138,6 +138,45 @@ def choose_banding(threshold: float) -> tuple[int, int]:
     return (64, 1)
 
 
+def poly_hash_flat(flat: list[bytes]) -> np.ndarray:
+    """Vectorized poly_hash31 over EVERY string of an Arrow batch at
+    once: left-pad to a char matrix and fold column-wise — leading
+    zeros are identity under the polynomial (0·31^k), so padded ==
+    scalar fold exactly (pytest-pinned against poly_hash31). Strings
+    are grouped into power-of-two LENGTH BANDS and padded only to the
+    band max (< 2× the shortest member), so one degenerate unbroken
+    token (base64 blob, minified source — whose whole text becomes a
+    single huge shingle) costs only its own bytes instead of inflating
+    every string in the batch to its length: padded memory stays
+    ≤ 2× total string bytes. Common crawls fit one band and run at
+    the single-matrix speed (the per-row version measured 0.54s/5k
+    docs vs crc32's 0.04s; this form runs at crc32 speed). Shared by
+    the portable MinHash signature spec and the portable quality-
+    classifier feature spec (models/quality.py)."""
+    P = np.int64(_MERSENNE)
+    lens = np.fromiter((len(b) for b in flat), dtype=np.int64,
+                       count=len(flat))
+    hv = np.zeros(len(flat), dtype=np.int64)
+    order = np.argsort(lens, kind="stable")
+    start, n = 0, len(flat)
+    while start < n:
+        l0 = int(lens[order[start]])
+        band_max = 1 << max(l0 - 1, 0).bit_length()  # next pow2 ≥ l0
+        end = start
+        while end < n and lens[order[end]] <= band_max:
+            end += 1
+        idx = order[start:end]
+        ml = int(lens[idx].max())
+        buf = b"".join(bytes(ml - len(flat[i])) + flat[i] for i in idx)
+        M = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), ml)
+        h = np.zeros(len(idx), dtype=np.int64)
+        for j in range(ml):
+            h = (h * 31 + M[:, j]) % P
+        hv[idx] = h
+        start = end
+    return hv
+
+
 def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
                       rows: int = LSH_ROWS,
                       signature_spec: str = "crc32"):
@@ -163,40 +202,7 @@ def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
         raise ValueError(f"unknown signature_spec {signature_spec!r}")
     portable = signature_spec == "portable"
 
-    def _poly_hash_flat(flat: list[bytes]) -> np.ndarray:
-        """Vectorized poly_hash31 over EVERY shingle of the Arrow batch at
-        once: left-pad to a char matrix and fold column-wise — leading
-        zeros are identity under the polynomial (0·31^k), so padded ==
-        scalar fold exactly (pytest-pinned against poly_hash31). Shingles
-        are grouped into power-of-two LENGTH BANDS and padded only to the
-        band max (< 2× the shortest member), so one degenerate unbroken
-        token (base64 blob, minified source — whose whole text becomes a
-        single huge shingle) costs only its own bytes instead of inflating
-        every shingle in the batch to its length: padded memory stays
-        ≤ 2× total shingle bytes. Common crawls fit one band and run at
-        the single-matrix speed (the per-row version measured 0.54s/5k
-        docs vs crc32's 0.04s; this form runs at crc32 speed)."""
-        lens = np.fromiter((len(b) for b in flat), dtype=np.int64,
-                           count=len(flat))
-        hv = np.zeros(len(flat), dtype=np.int64)
-        order = np.argsort(lens, kind="stable")
-        start, n = 0, len(flat)
-        while start < n:
-            l0 = int(lens[order[start]])
-            band_max = 1 << max(l0 - 1, 0).bit_length()  # next pow2 ≥ l0
-            end = start
-            while end < n and lens[order[end]] <= band_max:
-                end += 1
-            idx = order[start:end]
-            ml = int(lens[idx].max())
-            buf = b"".join(bytes(ml - len(flat[i])) + flat[i] for i in idx)
-            M = np.frombuffer(buf, dtype=np.uint8).reshape(len(idx), ml)
-            h = np.zeros(len(idx), dtype=np.int64)
-            for j in range(ml):
-                h = (h * 31 + M[:, j]) % P
-            hv[idx] = h
-            start = end
-        return hv
+    _poly_hash_flat = poly_hash_flat
 
     @F.pandas_udf("struct<sh: array<string>, bands: array<long>>")
     def sig_bands(text_s: pd.Series) -> pd.DataFrame:

@@ -83,6 +83,29 @@ def test_release_cached_drains_pins(spark):
     assert jsc.getPersistentRDDs().size() == before
 
 
+def test_release_cached_scoped_to_invocation(spark):
+    """Pins are scoped per query invocation (advisor-flagged: the old
+    global list let releasing query A unpersist query B's correctness
+    pins). Releasing the FIRST query's frame must leave the second
+    query's pins cached and its result intact."""
+    jsc = spark.sparkContext._jsc.sc()
+    Q.release_cached()
+    base = jsc.getPersistentRDDs().size()
+    # two DIFFERENT pinned queries (identical plans would share one
+    # CacheManager entry, which Spark itself unpersists jointly)
+    a = Q.q_decontaminate(spark, SF)   # pin materialized at construction
+    b = Q.q_sequence_pack(spark, SF)   # constructed BEFORE a materializes
+    b.count()
+    assert Q.release_cached(b) >= 1    # releases only b's generation
+    assert jsc.getPersistentRDDs().size() > base  # a's pin survives
+    n_a = a.count()                    # a still correct, pin intact
+    assert n_a > 0
+    assert Q.release_cached(a) >= 1
+    assert jsc.getPersistentRDDs().size() == base
+    # releasing an unregistered frame is a no-op, not an error
+    assert Q.release_cached(b) == 0
+
+
 def test_run_rule_dedup_routes_salt_buckets(spark, monkeypatch):
     """api.run_rule must thread the validated salt_buckets override into
     with_dedup_flag (it was silently dropped — advisor-flagged)."""

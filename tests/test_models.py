@@ -115,3 +115,61 @@ def test_quality_udf_parity_and_nulls(spark, artifacts_q):
     want = quality.predict_batch(pd.Series(texts), artifacts_q)
     assert abs(got - want).max() < 1e-12
     assert got[1] == 0.0 and got[2] == 0.0
+
+
+# --- quantized PORTABLE artifact (the exact-oracle decision spec) -----------
+
+def test_quality_portable_artifact_reproducible():
+    """The committed fixed-point artifact regenerates bit-for-bit from
+    source: training is full-batch GD on seeded synthetic corpora, so the
+    JSON under models/artifacts/ is provenance, not opaque state."""
+    import numpy as np
+    from dataquality_spark.models import quality
+
+    retrained = quality.quantized_artifact(
+        quality.train_quality(feature_spec="portable"))
+    committed = quality.load_quantized_artifact()
+    assert np.array_equal(retrained["wq"], committed["wq"])
+    assert retrained["bq"] == committed["bq"]
+
+
+def test_quality_portable_separates_junk():
+    """Quantization must not cost separation: held-out positives and all
+    four held-out junk kinds split on the SIGN of the integer logit."""
+    from dataquality_spark import spec
+    from dataquality_spark.models import corpus, quality
+
+    qart = quality.load_quantized_artifact()
+    pos = []
+    for lg in spec.LANGS:
+        pos.extend(corpus.seed_corpus(lg, n_docs=150)[120:])
+    _, lp = quality.logit_batch(pos, qart)
+    assert (lp > 0).mean() >= 0.99
+    for kind in range(4):
+        junk = [quality._junk_doc(0xFEED * 1_000_003 + d)
+                for d in range(kind, 120, 4)]
+        _, lj = quality.logit_batch(junk, qart)
+        assert (lj <= 0).mean() >= 0.95, f"junk kind {kind}"
+
+
+def test_quality_logit_udf_parity_and_edges(spark):
+    """The integer-logit Arrow UDF equals logit_batch through Spark
+    plumbing; null/empty/whitespace/non-ASCII-only text gives (0, 0) —
+    the no-features ⇒ drop contract on both engines."""
+    from dataquality_spark.models import quality
+
+    texts = ["the quick brown fox and the lazy dog run home again",
+             "", None, "   ", "あいう",  # strips to nothing
+             "xqzjvk wpfmtr zzkkqq " * 10]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i: long, text: string")
+    qart = quality.load_quantized_artifact()
+    udf = quality.make_quality_logit_udf(spark, qart)
+    got = (df.select("i", udf("text").alias("s"))
+           .select("i", "s.n_feat", "s.logit_num").toPandas()
+           .sort_values("i"))
+    nf, lg = quality.logit_batch(texts, qart)
+    assert (got["n_feat"].to_numpy() == nf).all()
+    assert (got["logit_num"].to_numpy() == lg).all()
+    for j in (1, 2, 3, 4):
+        assert nf[j] == 0 and lg[j] == 0
