@@ -134,6 +134,12 @@ def main():
         "/tmp/dq_bench_warm_out")
     for f in cleanup:
         f.unpersist()
+    # settle: C2 compilation of the warm pass's codegen'd stages runs on
+    # BACKGROUND JVM threads — timing the 600k run immediately after the
+    # warm write still catches stages mid-compile. Measured A/B (r4): no
+    # settle 37-41s, 10s settle 34.2s; round-3 got this settle by accident
+    # (its warm phase trained the 9s crc quality artifact on the driver).
+    time.sleep(10)
 
     pipe = bench_pipeline(spark, pages_path, n_pages)
 

@@ -38,15 +38,19 @@ REPEATS = 2  # best-of-n: the sandbox host is shared, single runs are noisy
 MIN_SCALING_ROWS = 1_800_000
 
 
-def scaling_rows(sf_dir: str) -> int:
-    """Corpus size for the scaling evidence: the sf-derived size, floored at
-    MIN_SCALING_ROWS (env SPARK_GRAFT_PIPELINE_ROWS overrides outright)."""
+def scaling_rows(sf_dir: str) -> tuple[int, int]:
+    """(effective, sf_derived) corpus sizes for the scaling evidence: the
+    sf-derived size, floored at MIN_SCALING_ROWS (env
+    SPARK_GRAFT_PIPELINE_ROWS overrides outright). Both land in the JSON
+    artifact so a floored ratio can never be silently compared against an
+    un-floored historical run (advisor-flagged)."""
     import re
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
     derived = max(2000, int(6_000_000 * sf))
-    return int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS",
-                              max(MIN_SCALING_ROWS, derived)))
+    eff = int(os.environ.get("SPARK_GRAFT_PIPELINE_ROWS",
+                             max(MIN_SCALING_ROWS, derived)))
+    return eff, derived
 
 
 def run_level(cpus: int, sf_dir: str, rows: int) -> dict:
@@ -99,7 +103,7 @@ def main():
     print("calibrating host CPU ceiling (pre-run)…", file=sys.stderr,
           flush=True)
     ceiling_pre = host_cpu_ceiling(lo, hi)
-    rows = scaling_rows(sf_dir)
+    rows, derived_rows = scaling_rows(sf_dir)
     print(f"scaling corpus: {rows} rows (floor {MIN_SCALING_ROWS} — "
           "see BENCH/BASELINE.md scaling-history note)", file=sys.stderr,
           flush=True)
@@ -119,6 +123,12 @@ def main():
     summary = {
         "sf_dir": sf_dir,
         "rows": results[hi]["pipeline_rows"],
+        # provenance: ratios are only comparable across runs of the SAME
+        # corpus size — tag floored runs so historical comparisons can't
+        # silently cross corpus sizes (advisor-flagged)
+        "rows_sf_derived": derived_rows,
+        "rows_floored": results[hi]["pipeline_rows"] != derived_rows,
+        "rows_floor": MIN_SCALING_ROWS,
         f"docs_per_sec_local{lo}": thr_lo,
         f"docs_per_sec_local{hi}": thr_hi,
         "scaling_efficiency": round(eff, 3),

@@ -544,27 +544,48 @@ def semantic_dedup(spark: SparkSession, df: DataFrame,
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        V = np.array(pdf["_v"].tolist(), dtype=np.float64)[order]
+        vals = pdf["_v"].to_numpy()[order]
+        V = np.array(vals.tolist(), dtype=np.float64)
         n = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-12)
         S = (V @ V.T) / np.outer(n, n)
         ia, ib = np.nonzero(np.triu(S >= thr - 1e-3, k=1))
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        # the candidate rows CARRY both vectors, so the exact decide below
+        # is a projection — no join back to the corpus, no extra shuffles
+        # (the join-based first cut measured +1.2s warm at the 1× tier)
+        return pd.DataFrame({"id_b": ids[ib],
+                             "_ae": vals[ia], "_be": vals[ib]})
 
     cand = base.groupBy("cell").applyInPandas(
-        cell_pairs, "id_a long, id_b long")
-    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_ae"))
-    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_be"))
-    dot = F.aggregate(
-        F.zip_with("_ae", "_be", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)
-    na = F.greatest(F.sqrt(F.aggregate(F.transform(
-        "_ae", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)), F.lit(1e-12))
-    nb = F.greatest(F.sqrt(F.aggregate(F.transform(
-        "_be", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v)), F.lit(1e-12))
-    dropped = (cand.join(ea, "id_a").join(eb, "id_b")
-               .where(F.round(dot / (na * nb), 4) >= F.lit(thr))
+        cell_pairs, "id_b long, _ae array<double>, _be array<double>")
+
+    # SEQUENTIAL cosine fold, vectorized ACROSS rows: the dim-loop adds
+    # a_j·b_j in index order, so every row's accumulation is bit-identical
+    # to the oracle's left-to-right list_aggregate fold (0.0 + p_1 + p_2 …)
+    # — unlike BLAS/np.sum, whose blocked order splits round(·,4) at knife
+    # edges. A zip_with/aggregate HOF spelling is exact too but evaluates
+    # INTERPRETED per element (measured 12-16s at 20k candidates × 64
+    # dims); this Arrow kernel is the same arithmetic at numpy speed.
+    # round(·,4) stays JVM-side: F.round ≡ DuckDB round is the
+    # fuzz-validated bridge (np.round is half-even, DuckDB half-away).
+    @F.pandas_udf("double")
+    def _seq_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.zeros(0))
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        dot = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for j in range(A.shape[1]):
+            dot += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        den = (np.maximum(np.sqrt(na), 1e-12)
+               * np.maximum(np.sqrt(nb), 1e-12))
+        return pd.Series(dot / den)
+
+    dropped = (cand.withColumn("_cos", _seq_cos("_ae", "_be"))
+               .where(F.round(F.col("_cos"), 4) >= F.lit(thr))
                .select(F.col("id_b").alias("_id")).distinct()
                .withColumn("_dropped", F.lit(True)))
     return (base.select("_id", "cell").join(dropped, "_id", "left")

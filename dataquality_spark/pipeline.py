@@ -38,6 +38,29 @@ def get_artifacts() -> dict:
     return _ARTIFACTS
 
 
+# Above this estimated input size the scored frame is cached DISK_ONLY
+# instead of MEMORY_AND_DISK: the heap-resident cache portion competes
+# with UNMANAGED allocations (parquet writer row-group buffers, Arrow
+# batches) that live outside Spark's managed pool — at 18M pages the
+# combination OOM'd a 16g JVM even after the join exchange was sized
+# (storage held its protected ~4.7g while ~23 concurrent writers needed
+# ~300MB each). At 100 TB nobody heap-caches the corpus; disk-serialized
+# cache keeps the double-consumer plan (winners agg + join probe) without
+# the heap bill. The threshold keeps the bench-scale (≤ sf0.1, ~1 GB)
+# fast path byte-identical.
+CACHE_MEM_MAX_BYTES = 2 << 30
+
+
+def input_bytes_estimate(df: DataFrame) -> int:
+    """The optimizer's size estimate for ``df`` (driver-side, no job);
+    -1 when stats are unavailable (e.g. a mocked frame)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return -1
+
+
 def run_pipeline(spark: SparkSession, pages: DataFrame,
                  with_dedup: bool = True, salt_buckets: int | str = 64,
                  persist: bool = True,
@@ -110,7 +133,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     df = df.drop("text")
     if persist:
         from pyspark import StorageLevel
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        level = (StorageLevel.DISK_ONLY
+                 if input_bytes_estimate(pages) > CACHE_MEM_MAX_BYTES
+                 else StorageLevel.MEMORY_AND_DISK)
+        df = df.persist(level)
         if cleanup is not None:
             cleanup.append(df)
     winners = exact_dedup_winners(
@@ -121,6 +147,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     # table, and even here broadcasting ~half the input is a single-threaded
     # driver-side build (measured ~30s serial). Shuffle-hash join instead;
     # AQE skew handling covers hot hashes.
+    #
+    # The join/write stage's partition count scales with the input via
+    # AQE's initialPartitionNum (session.py): exchanges start at 1024 and
+    # coalesce to ~64MB by MEASURED size, so reduce tasks stay heap-
+    # bounded as data grows. (A pre-join repartition(N) cannot do this —
+    # EnsureRequirements collapses it back to the conf count when
+    # aligning the join sides; observed at 18M pages.)
     joined = df.join(winners.hint("shuffle_hash"), "content_hash", "left")
     return (
         joined.withColumn(

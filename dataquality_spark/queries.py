@@ -3168,37 +3168,60 @@ _BLOCKLIST_HOSTS: tuple[tuple[str, str], ...] = (
 
 
 def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist over per-host page counts. The host
+    label deliberately includes a REAL STRING column (`props`) run through
+    the lower() + `^www.`-strip normalization, so the fuzzer can hit the
+    same Unicode-fold risk class the İ episode exposed (NULL props, IDN
+    labels, a props value that itself starts with 'WWW.'); the oracle
+    mirrors Spark's FULL-Unicode lower via the `_sql_full_lower` shim."""
     ev = _t(spark, sf_dir, "events")
     raw = F.concat(
         F.when(F.col("event_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
-        F.lit("Site"), (F.col("user_id") % 50).cast("string"),
+        F.coalesce(F.col("props"), F.lit("None")),
+        F.lit(".Site"), (F.col("user_id") % 50).cast("string"),
         F.lit(".Example"))
     host = F.regexp_replace(F.lower(raw), r"^www\.", "")
     per_host = (ev.select(host.alias("host"))
                 .groupBy("host").agg(F.count(F.lit(1)).alias("n_events")))
+    # UT1 blocklists name REGISTERED DOMAINS; pages carry full hosts —
+    # match on the last two dot-labels (subdomains inherit the block)
+    domain = F.substring_index(F.col("host"), ".", -2)
     bl = spark.createDataFrame(list(_BLOCKLIST_HOSTS),
-                               "host string, category string")
-    return (per_host.join(F.broadcast(bl), "host", "left")
-            .select("host", "n_events", "category",
+                               "domain string, category string")
+    return (per_host.withColumn("domain", domain)
+            .join(F.broadcast(bl), "domain", "left")
+            .select("host", "domain", "n_events", "category",
                     F.col("category").isNotNull().alias("blocked")))
 
 
 def _sql_domain_blocklist() -> str:
-    """Oracle generated from the SAME blocklist tuple the Spark side uses."""
+    """Oracle generated from the SAME blocklist tuple the Spark side uses.
+    lower() goes through the `_sql_full_lower` shim (Spark/CPython full
+    case mapping vs utf8proc simple fold — the İ divergence); the
+    registered domain is the last two dot-labels, Spark's
+    substring_index(host, '.', -2)."""
     values = ", ".join(f"('{h}', '{c}')" for h, c in _BLOCKLIST_HOSTS)
+    raw = ("CASE WHEN event_id % 2 = 0 THEN 'WWW.' ELSE '' END"
+           " || coalesce(props, 'None')"
+           " || '.Site' || (user_id % 50)::varchar || '.Example'")
     return f"""
-WITH bl(host, category) AS (VALUES {values}),
+WITH bl(domain, category) AS (VALUES {values}),
 hosts AS (
-  SELECT regexp_replace(lower(
-             CASE WHEN event_id % 2 = 0 THEN 'WWW.' ELSE '' END
-             || 'Site' || (user_id % 50)::varchar || '.Example'),
-         '^www\\.', '') AS host
+  SELECT regexp_replace({_sql_full_lower(raw)}, '^www\\.', '') AS host
   FROM events
 ),
 per_host AS (SELECT host, count(*)::bigint AS n_events
-             FROM hosts GROUP BY host)
-SELECT p.host, p.n_events, b.category, b.category IS NOT NULL AS blocked
-FROM per_host p LEFT JOIN bl b ON b.host = p.host
+             FROM hosts GROUP BY host),
+dom AS (
+  SELECT host, n_events,
+         array_to_string(list_slice(str_split(host, '.'),
+             greatest(len(str_split(host, '.')) - 1, 1),
+             len(str_split(host, '.'))), '.') AS domain
+  FROM per_host
+)
+SELECT d.host, d.domain, d.n_events, b.category,
+       b.category IS NOT NULL AS blocked
+FROM dom d LEFT JOIN bl b ON b.domain = d.domain
 """
 
 

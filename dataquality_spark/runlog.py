@@ -53,10 +53,15 @@ def rule_dimension(rule_id: str) -> str:
 
 def append_run_log(spark: SparkSession, cat: ManifestCatalog,
                    dataset: str, metrics_rows: list[dict],
-                   table: str = "run_log", is_new: bool = False,
+                   table: str = "run_log", is_standard: bool = True,
                    now: datetime.datetime | None = None) -> str:
     """metrics_rows: dicts with rule_id/pass_count/fail_count/score (the
-    pipeline_metrics schema). Returns the new snapshot id."""
+    pipeline_metrics schema). Returns the new snapshot id.
+
+    The ``New_or_Existing_Test`` column holds ``Standard``/``Custom`` —
+    the reference's own quirk (the column NAME says new/existing but
+    `core_operations.py:100` writes standard-or-custom values); preserved
+    verbatim so exported logs are drop-in compatible."""
     ts = (now or datetime.datetime.now(datetime.timezone.utc)).strftime(
         "%Y-%m-%d %H:%M:%S")
     rows = []
@@ -69,7 +74,7 @@ def append_run_log(spark: SparkSession, cat: ManifestCatalog,
             "Threshold": float(m.get("threshold") or 0.0),
             "Score": float(m["score"]) if m["score"] is not None else None,
             "Run_Time_and_Date": ts,
-            "New_or_Existing_Test": "New" if is_new else "Existing",
+            "New_or_Existing_Test": "Standard" if is_standard else "Custom",
             "One_Line_Summary": one_line_summary(
                 m["rule_id"], m["pass_count"], m["fail_count"]),
             "Errors": m.get("errors"),

@@ -41,6 +41,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle-partition SCALE rule: exchanges START wide and AQE
+        # coalesces them to ~64MB by measured size. The static 2×cores
+        # count is a floor, not a ceiling — with it alone, a shuffle-hash
+        # build or a parquet-writing reduce task grows linearly with the
+        # input and eventually OOMs (measured: 18M pages × 64 partitions
+        # killed a 16g JVM in the dedup join-back's write stage; a
+        # pre-join repartition(N) does NOT fix it — EnsureRequirements
+        # collapses it to the conf count when aligning the join sides).
+        # Small inputs coalesce back to a handful of tasks, so bench-scale
+        # plans are unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                "1024")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size for the UDF stages: larger batches amortize the

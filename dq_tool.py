@@ -145,15 +145,31 @@ def compute_metrics(spark, df, rule_ids: list[str], params: dict,
                     text_col: str, lang_col: str,
                     id_cols: tuple[str, str]) -> list[dict]:
     """Flag every selected rule in one projection (+ the dedup shuffle when
-    selected), then ONE aggregation pass → rule_metrics rows."""
+    selected), then ONE aggregation pass → rule_metrics rows. Heuristic
+    flagging only runs when a heuristic rule is actually selected (the
+    reference UI computes selected tests only — advisor-flagged: a
+    dedup-only run on a dataset without text/lang columns used to die in
+    with_rule_flags with an AnalysisException instead of running dedup)."""
     from dataquality_spark.rules.heuristics import rule_metrics, with_rule_flags
-    flagged = with_rule_flags(df, text_col, lang_col, params)
+    flagged = df
+    if any(r != DEDUP_RULE for r in rule_ids):
+        missing = [c for c in (text_col, lang_col) if c not in df.columns]
+        if missing:
+            raise SystemExit(
+                f"heuristic rules need columns "
+                f"[{text_col!r}, {lang_col!r}] (missing {missing}); pass "
+                f"--text-col/--lang-col or select only dedup via --rules")
+        flagged = with_rule_flags(flagged, text_col, lang_col, params)
     if DEDUP_RULE in rule_ids:
         missing = [c for c in id_cols if c not in df.columns]
         if missing:
             raise SystemExit(
                 f"dedup winner ordering needs columns {list(id_cols)} "
                 f"(missing {missing}); pass --id-cols col1,col2")
+        if text_col not in df.columns:
+            raise SystemExit(
+                f"dedup hashes the text column ({text_col!r} not in the "
+                f"dataset); pass --text-col")
         from dataquality_spark.operators.dedup import with_dedup_flag
         flagged = with_dedup_flag(flagged, id_cols=id_cols,
                                   text_col=text_col,

@@ -148,7 +148,14 @@ def _random_events(n=2000, seed=41):
         val = None if rng.random() < 0.1 else round(
             rng.choice([rng.uniform(0, 20), rng.uniform(0, 2000)]), 2)
         props = rng.choice([None, "", "42", "abc", '{"k": 7}', "  19  ",
-                            "1e3", "-5", "007"])
+                            "1e3", "-5", "007",
+                            # IDN / case-fold host labels (domain_blocklist
+                            # runs props through lower() + www-strip — the
+                            # İ episode's divergence class):
+                            "İstanbul",    # dotted capital I
+                            "WWW.Über",    # strip-prefix + Ü fold
+                            "STRASSE", "дом.РФ", "xn--bcher-kva",
+                            "www.nested", "3.14.sub"])
         rows.append((i, ts, rng.randrange(12),
                      rng.choice(["click", "view", "error", "buy", "scroll"]),
                      val, props))
@@ -285,3 +292,56 @@ def diff_embeddings(spark, tmp_path_factory):
 def test_differential_random_embeddings(spark, diff_embeddings, name):
     sf_dir, con = diff_embeddings
     _assert_differential(spark, con, sf_dir, name)
+
+
+# --- corrupt embeddings: guard parity (semdedup drops them on BOTH sides) ---
+
+def _corrupt_embeddings(seed=31):
+    """The clustered corpus plus the guard-path rows: wrong-dimension
+    vectors, NULL elements, NULL embeddings, all-zero vectors (the
+    norm-clamp case: sim must be 0/keep on both engines, never NaN),
+    and exact duplicates right at the threshold."""
+    rng = random.Random(seed)
+    rows = _random_embeddings(n=80, seed=seed)
+    nid = 1000
+    for _ in range(6):          # wrong dim: dropped by len()==64 guard
+        rows.append((nid, [rng.uniform(-1, 1) for _ in range(32)], 0))
+        nid += 1
+    for _ in range(6):          # NULL element: dropped by the exists guard
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        v[rng.randrange(64)] = None
+        rows.append((nid, v, 1))
+        nid += 1
+    rows.append((nid, None, 2)); nid += 1          # NULL embedding
+    for _ in range(3):          # all-zero: keep (clamped sim 0), never NaN
+        rows.append((nid, [0.0] * 64, 2))
+        nid += 1
+    dup = [round(rng.uniform(-1, 1), 4) for _ in range(64)]
+    rows.append((nid, dup, 0)); nid += 1           # exact dup pair: cos = 1
+    rows.append((nid, list(dup), 0)); nid += 1
+    return rows
+
+
+def test_differential_semdedup_corrupt_embeddings(spark, tmp_path):
+    rows = _corrupt_embeddings()
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{tmp_path}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')")
+    _assert_differential(spark, con, str(tmp_path), "semdedup")
+    # the invalid rows really are excluded, valid ones all present:
+    # (80 valid + 3 zero + 2 dup) × 2 (shadow union)
+    from dataquality_spark.queries import QUERIES
+    out = QUERIES["semdedup"](spark, str(tmp_path))
+    assert out.count() == (80 + 3 + 2) * 2
+    kept = {r.vec_id: r.keep for r in out.collect()}
+    zero_ids = [r[0] for r in rows if r[1] is not None
+                and len(r[1]) == 64 and all(x == 0.0 for x in r[1])]
+    assert all(kept[z] for z in zero_ids)          # zero vectors kept
+    dup_a, dup_b = rows[-2][0], rows[-1][0]        # the exact-dup pair
+    assert kept[dup_a] and not kept[dup_b]         # first-seen wins
+    # their shadows both duplicate the kept original → dropped
+    assert not kept[dup_a + 1_000_000] and not kept[dup_b + 1_000_000]

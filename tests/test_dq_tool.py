@@ -91,9 +91,44 @@ def test_main_end_to_end_with_runlog(spark, tmp_path, capsys):
     # reference-schema XLSX export
     from dataquality_spark.sources.xlsx import read_xlsx
     log = read_xlsx(spark, xlsx)
+    # the exported log carries the reference's DQS_Output_Log column
+    # contract verbatim (core_operations.py:110-125), in order
+    assert log.columns == [
+        "Dataset", "Dimension", "Test", "Selected_Columns", "Threshold",
+        "Score", "Run_Time_and_Date", "New_or_Existing_Test",
+        "One_Line_Summary", "Errors", "Why_Did_the_Test_Fail"]
     rows = {r["Test"]: r for r in log.collect()}
     assert set(rows) == {"min_words", "dedup"}
     assert rows["min_words"]["Score"] == "100.00%"  # reference :.2f format
+    assert rows["min_words"]["Dimension"] == "accuracy"
+    assert rows["dedup"]["Dimension"] == "uniqueness"
+    assert rows["min_words"]["New_or_Existing_Test"] == "Standard"
+    assert rows["min_words"]["Dataset"] == src
+    # the reference's summary synthesis populates One_Line_Summary
+    assert "50" in rows["min_words"]["One_Line_Summary"]
+
+
+def test_main_dedup_only_skips_heuristic_flagging(spark, tmp_path, capsys):
+    """--rules dedup on a dataset WITHOUT text-stat prerequisites (no lang
+    column) must run the dedup flag instead of dying inside
+    with_rule_flags (advisor-flagged; the reference UI computes selected
+    tests only)."""
+    src = str(tmp_path / "nolang.parquet")
+    spark.range(0, 20).selectExpr(
+        "concat('dup text block ', id % 10) as text",
+        "cast(id as string) as url",
+        "current_timestamp() as warc_ts").write.parquet(src)
+    rc = dq_tool.main([src, "--rules", "dedup", "--head", "0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rules"]["dedup"] == 0.5  # 10 winners of 20 docs
+
+
+def test_main_heuristics_without_lang_fail_loud(spark, tmp_path):
+    src = str(tmp_path / "nolang2.parquet")
+    spark.range(0, 5).selectExpr("'a b c' as text").write.parquet(src)
+    with pytest.raises(SystemExit, match="lang"):
+        dq_tool.main([src, "--rules", "min_words", "--head", "0"])
 
 
 def test_main_dedup_without_id_cols_fails_loud(spark, tmp_path):
