@@ -287,10 +287,18 @@ def save_quantized_artifact(qart: dict, path: str = ARTIFACT_PATH) -> None:
 def load_quantized_artifact(path: str = ARTIFACT_PATH) -> dict:
     """The committed artifact (training takes ~9s; deterministic — a pytest
     retrains and asserts bit equality, tools/gen_quality_artifact.py
-    regenerates)."""
+    regenerates). In a ``spark-submit --py-files`` zip deployment the file
+    path does not exist on disk — fall back to importlib.resources, which
+    reads through zipimport."""
     import json
-    with open(path) as f:
-        d = json.load(f)
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except OSError:
+        from importlib import resources
+        d = json.loads(resources.files("dataquality_spark.models")
+                       .joinpath("artifacts/quality_portable_v1.json")
+                       .read_text())
     assert d["spec"] == "portable-v1" and d["qscale"] == QSCALE
     return {"wq": np.asarray(d["wq"], dtype=np.int64), "bq": int(d["bq"])}
 

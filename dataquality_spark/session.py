@@ -53,6 +53,14 @@ def get_spark(
         # plans are unchanged.
         .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
                 "1024")
+        # honor the 64MB advisory target instead of maximizing parallelism:
+        # with parallelismFirst (the default) AQE keeps near-1024 reducers
+        # for any shuffle over ~1GB (1MB min-size floor), which turns the
+        # wide start into pure task overhead on mid-size data; with it off,
+        # reducer COUNT ∝ shuffle BYTES — the property that keeps both
+        # small-query overhead and per-task memory bounded at every scale
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size for the UDF stages: larger batches amortize the

@@ -18,7 +18,10 @@ def main() -> str:
             if "__pycache__" in dirpath:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                # .json: committed model artifacts (models/artifacts/) ride
+                # inside the zip; load_quantized_artifact reads them through
+                # importlib.resources so zipimport deployments work
+                if f.endswith((".py", ".json")):
                     full = os.path.join(dirpath, f)
                     z.write(full, os.path.relpath(full, ROOT))
     print(out)
