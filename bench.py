@@ -90,7 +90,7 @@ HEADLINE_QUERIES = [
     "length_percentiles", "snapshot_diff", "substring_dedup",
     "mixture_rebalance", "sb_lm_score", "bm25_topk", "rolling_anomaly",
     "embedding_outliers", "bpe_pack", "region_revenue", "source_overlap",
-    "semdedup", "domain_blocklist",
+    "semdedup", "domain_blocklist", "dsir_select", "token_drift",
 ]
 
 

@@ -3314,6 +3314,151 @@ FROM cells c LEFT JOIN dropped d ON d.id_b = c.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q80 — DSIR-style importance selection (Xie et al. 2023): pick the raw-pool
+# documents whose hashed word-n-gram bag looks most like a small trusted
+# target domain (here sources src0-src2). Fixed-point odds-ratio spec —
+# pure integer arithmetic end to end (operators/dsir.py docstring has the
+# full derivation and the paper-deviation rationale). Plan: one gram
+# shuffle with map-side combine, a broadcast 4096-row ratio table, one
+# per-doc sum, TakeOrderedAndProject top-k — no global sort, no window
+# over the corpus.
+
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+_DSIR_K = 50
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.dsir import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    pins: list[DataFrame] = []
+    out = dsir_select(docs,
+                      F.col("source").isin(*_DSIR_TARGET_SOURCES),
+                      k=_DSIR_K, cleanup=pins)
+    return _register_pins(out, pins)
+
+
+def _sql_dsir_select() -> str:
+    """DuckDB mirror of the fixed-point DSIR spec. The bucket count, the
+    smoothed fixed-point probabilities and the odds-ratio table are all
+    RECOMPUTED from the raw documents in SQL (integer floor division
+    mirrors Spark's `div`) — nothing is baked in from the Spark run, so
+    the oracle independently verifies the whole composition."""
+    from dataquality_spark.operators.dsir import (DSIR_BUCKETS, DSIR_SCALE,
+                                                  _QK)
+    from dataquality_spark.operators.dedup import _MERSENNE
+    B, S, M, QK = DSIR_BUCKETS, DSIR_SCALE, _MERSENNE, _QK
+    targets = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, source IN ({targets}) AS is_t,
+         lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^A-Za-z0-9 \t\n\r\f\v]+', '', 'g'),
+             '[ \t\n\r\f\v]+', ' ', 'g'))) AS t
+  FROM documents
+),
+hs AS (
+  SELECT doc_id, is_t,
+         list_transform(str_split(t, ' '),
+             w -> list_reduce(list_transform(str_split(w, ''),
+                      c -> unicode(c)::BIGINT),
+                  (a, b) -> (a * 31 + b) % {M})) AS h
+  FROM norm WHERE t <> ''
+),
+feat AS (
+  SELECT doc_id, is_t, unnest(list_concat(
+      list_transform(h, x -> x % {B}),
+      list_transform(range(1, len(h)),
+          i -> (h[i] * {QK} + h[i + 1]) % {M} % {B}))) AS b
+  FROM hs
+),
+bt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rc
+  FROM feat GROUP BY b
+),
+masses AS (
+  SELECT CAST(sum(tc) AS BIGINT) AS tmass,
+         CAST(sum(rc) AS BIGINT) AS rmass FROM bt
+),
+lr AS (
+  SELECT b, ((pt + 1) * {S}) // (pr + 1) AS s
+  FROM (SELECT b,
+               ((tc + 1) * {S}) // (tmass + {B}) AS pt,
+               ((rc + 1) * {S}) // (rmass + {B}) AS pr
+        FROM bt, masses)
+),
+scored AS (
+  SELECT f.doc_id, CAST(sum(lr.s) AS BIGINT) AS dsir_score
+  FROM feat f JOIN lr ON lr.b = f.b
+  WHERE NOT f.is_t
+  GROUP BY f.doc_id
+  ORDER BY dsir_score DESC, doc_id ASC LIMIT {_DSIR_K}
+)
+SELECT doc_id, dsir_score,
+       CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id ASC)
+            AS INT) AS rank
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q81 — snapshot token-distribution drift: total-variation-style per-token
+# drift between two corpus snapshots (derived deterministically: doc_id
+# parity), kept EXACT by cross-multiplying instead of dividing —
+# drift_num = |cnt_a·NB − cnt_b·NA| is pure int64 (safe below ~3e9 tokens
+# per snapshot; widen to DECIMAL(38,0) past that, same plan) — no float
+# anywhere, so no cross-engine knife edge by construction. Consumers
+# normalize to TV distance as drift_num/(2·NA·NB) downstream if they
+# want a ratio. Corpus-monitoring op for training-data pipelines
+# (distribution shift between crawl snapshots). One token shuffle with
+# map-side combine + TakeOrderedAndProject top-20.
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    tok = (docs.where(F.col("text").isNotNull())
+           .select((F.col("doc_id") % 2 == 0).alias("in_a"),
+                   F.explode(ws).alias("token")))
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cnt_b"))
+    masses = counts.agg(F.sum("cnt_a").alias("na"),
+                        F.sum("cnt_b").alias("nb"))
+    return (counts.crossJoin(F.broadcast(masses))
+            .select("token", "cnt_a", "cnt_b",
+                    F.abs(F.col("cnt_a") * F.col("nb")
+                          - F.col("cnt_b") * F.col("na")).alias("drift_num"))
+            .orderBy(F.desc("drift_num"), F.asc("token")).limit(20))
+
+
+_SQL_TOKEN_DRIFT = f"""
+WITH tok AS (
+  SELECT doc_id % 2 = 0 AS in_a,
+         unnest(list_filter(string_split_regex(
+             lower(replace(text, 'İ', 'i' || chr(775))), '\\s+'),
+             x -> x <> '')) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+  FROM tok GROUP BY token
+),
+masses AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+         CAST(sum(cnt_b) AS BIGINT) AS nb FROM counts
+)
+SELECT token, cnt_a, cnt_b,
+       abs(cnt_a * nb - cnt_b * na) AS drift_num
+FROM counts, masses
+ORDER BY drift_num DESC, token ASC
+LIMIT 20
+"""
+
+
 # Registry ORDER is evidence policy, not aesthetics: the driver's
 # CORRECTNESS gate verifies the FIRST 50 entries each round. The window
 # below holds (a) every exact-oracle entry that had never received a
@@ -3397,6 +3542,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "cosine_allpairs": q_cosine_allpairs,
     "multimodal_frames": q_multimodal_frames,
+    # --- new in round 4 (exact oracles; enter the window next round) ---
+    "dsir_select": q_dsir_select,
+    "token_drift": q_token_drift,
     # --- rows-only (non-SQL-expressible: model UDFs, LSH plans, binary) ---
     "image_features": q_image_features,
     "audio_features": q_audio_features,
@@ -3480,4 +3628,6 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
     "region_revenue": _SQL_REGION_REVENUE,
     "source_overlap": _SQL_SOURCE_OVERLAP,
+    "dsir_select": _sql_dsir_select(),
+    "token_drift": _SQL_TOKEN_DRIFT,
 }

@@ -103,6 +103,11 @@ QUERIES_UNDER_TEST = [
     # the full LSH→components→winners composition under the portable
     # signature spec — candidate-set-exact vs the SQL MinHash mirror
     "fuzzy_dedup_decisions",
+    # round-4 additions: the fixed-point DSIR selection (portable
+    # normalize + poly-hash spec under non-ASCII/NULL/empty text; ties at
+    # the LIMIT boundary are totally ordered by doc_id) and the exact
+    # integer token-drift top-20 (lower() İ shim, \s+ split parity)
+    "dsir_select", "token_drift",
 ]
 
 
