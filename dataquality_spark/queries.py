@@ -3421,16 +3421,20 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (docs.where(F.col("text").isNotNull())
            .select((F.col("doc_id") % 2 == 0).alias("in_a"),
                    F.explode(ws).alias("token")))
+    # pin: the vocabulary-sized count table feeds both the scalar-mass
+    # broadcast and the drift projection — unpinned, the token explode +
+    # shuffle would run twice (released via release_cached)
     counts = tok.groupBy("token").agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("cnt_a"),
-        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cnt_b"))
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cnt_b")).persist()
     masses = counts.agg(F.sum("cnt_a").alias("na"),
                         F.sum("cnt_b").alias("nb"))
-    return (counts.crossJoin(F.broadcast(masses))
-            .select("token", "cnt_a", "cnt_b",
-                    F.abs(F.col("cnt_a") * F.col("nb")
-                          - F.col("cnt_b") * F.col("na")).alias("drift_num"))
-            .orderBy(F.desc("drift_num"), F.asc("token")).limit(20))
+    out = (counts.crossJoin(F.broadcast(masses))
+           .select("token", "cnt_a", "cnt_b",
+                   F.abs(F.col("cnt_a") * F.col("nb")
+                         - F.col("cnt_b") * F.col("na")).alias("drift_num"))
+           .orderBy(F.desc("drift_num"), F.asc("token")).limit(20))
+    return _register_pins(out, [counts])
 
 
 _SQL_TOKEN_DRIFT = f"""
