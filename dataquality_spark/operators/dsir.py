@@ -106,7 +106,10 @@ def dsir_select(docs: DataFrame, is_target: Column, k: int = 50,
     trusted-domain rows that DEFINE the target distribution; selection
     ranks only the complement (the raw pool), as in the paper. Documents
     that normalize to zero grams cannot be scored and are never selected
-    (they carry no evidence either way).
+    (they carry no evidence either way). A NULL ``is_target`` (e.g. NULL
+    source at crawl scale) is coalesced to false — the row is raw-pool,
+    NOT silently dropped from both distributions (the when/otherwise vs
+    CASE/ELSE null asymmetry class the differential fuzzer hunts).
 
     ``cleanup``: the hashed-bucket frame feeds BOTH the distribution
     estimate and the per-doc scoring pass, and the tiny bucket table
@@ -116,7 +119,7 @@ def dsir_select(docs: DataFrame, is_target: Column, k: int = 50,
     caller to unpersist after materialization."""
     udf = make_dsir_buckets_udf()
     hashed = (docs.select(F.col(id_col).alias("doc_id"),
-                          is_target.alias("is_t"),
+                          F.coalesce(is_target, F.lit(False)).alias("is_t"),
                           udf(F.col(text_col)).alias("bs"))
               .persist())
     if cleanup is not None:

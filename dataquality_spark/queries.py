@@ -3351,7 +3351,7 @@ def _sql_dsir_select() -> str:
     targets = ", ".join(f"'{s}'" for s in _DSIR_TARGET_SOURCES)
     return rf"""
 WITH norm AS (
-  SELECT doc_id, source IN ({targets}) AS is_t,
+  SELECT doc_id, coalesce(source IN ({targets}), FALSE) AS is_t,
          lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
              '[^A-Za-z0-9 \t\n\r\f\v]+', '', 'g'),
              '[ \t\n\r\f\v]+', ' ', 'g'))) AS t
@@ -3418,7 +3418,12 @@ FROM scored
 def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    tok = (docs.where(F.col("text").isNotNull())
+    # doc_id guard on BOTH sides: a NULL id makes `in_a` NULL, and Spark's
+    # when/otherwise counts it to NEITHER snapshot while SQL's CASE/ELSE
+    # counts it to B — the null-asymmetry divergence class; exclude it
+    # identically instead
+    tok = (docs.where(F.col("text").isNotNull()
+                      & F.col("doc_id").isNotNull())
            .select((F.col("doc_id") % 2 == 0).alias("in_a"),
                    F.explode(ws).alias("token")))
     # pin: the vocabulary-sized count table feeds both the scalar-mass
@@ -3443,7 +3448,7 @@ WITH tok AS (
          unnest(list_filter(string_split_regex(
              lower(replace(text, 'İ', 'i' || chr(775))), '\\s+'),
              x -> x <> '')) AS token
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
 ),
 counts AS (
   SELECT token,

@@ -350,3 +350,37 @@ def test_differential_semdedup_corrupt_embeddings(spark, tmp_path):
     assert kept[dup_a] and not kept[dup_b]         # first-seen wins
     # their shadows both duplicate the kept original → dropped
     assert not kept[dup_a + 1_000_000] and not kept[dup_b + 1_000_000]
+
+
+# --- NULL keys in documents: the when/otherwise vs CASE/ELSE asymmetry -----
+
+def test_differential_null_keys_docs(spark, tmp_path):
+    """dsir_select and token_drift under NULL source / NULL doc_id rows —
+    a NULL flag column makes Spark's when/otherwise count the row to
+    NEITHER class while SQL's CASE/ELSE counts it to the ELSE class; both
+    queries pin an explicit convention instead (NULL source → raw pool;
+    NULL doc_id → excluded from the snapshot split on both sides)."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        text = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 20)))
+        src = None if i % 9 == 0 else f"src{i % 5}"
+        did = None if i % 17 == 0 else i
+        rows.append((did, text, "en", src, len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id: long, text: string, lang: string, source: string, "
+              "n_chars: long")
+    df.coalesce(1).write.mode("overwrite") \
+        .parquet(f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet/*.parquet')")
+    _assert_differential(spark, con, str(tmp_path), "dsir_select")
+    _assert_differential(spark, con, str(tmp_path), "token_drift")
+    # NULL-source docs are raw-pool (scorable, selectable) — not dropped
+    from dataquality_spark.queries import QUERIES, release_cached
+    out = QUERIES["dsir_select"](spark, str(tmp_path))
+    ids = {r.doc_id for r in out.collect()}
+    release_cached(out)
+    null_src_ids = {r[0] for r in rows if r[3] is None and r[0] is not None}
+    assert ids & null_src_ids, "NULL-source docs must compete in selection"
