@@ -3471,12 +3471,14 @@ LIMIT 20
 # Registry ORDER is evidence policy, not aesthetics: the driver's
 # CORRECTNESS gate verifies the FIRST 50 entries each round. The window
 # below holds (a) every exact-oracle entry that had never received a
-# driver-green row through round 3 (19 of them), (b) the newly exact
-# quality_classifier, and (c) the 30 exact entries that are the sole or
-# primary oracle witness for a SURVEY §2 ID (COVERAGE.md). Exact entries
-# rotated PAST the window (redundant witnesses) are all cumulatively
-# driver-green in ≥2 prior rounds (CORRECTNESS_r01–r03); rows-only entries
-# sit at the tail so they never burn an oracle slot.
+# driver-green row through round 3 (19 of them), (b) the three newly
+# exact round-4 entries (quality_classifier, dsir_select, token_drift),
+# and (c) the exact entries that are the sole or primary oracle witness
+# for a SURVEY §2 ID (COVERAGE.md). Exact entries rotated PAST the window
+# (redundant witnesses — every §2 ID they cover has another green
+# witness, and heuristic_gate's rules run under entry() every round) are
+# all cumulatively driver-green in ≥2 prior rounds (CORRECTNESS_r01–r03);
+# rows-only entries sit at the tail so they never burn an oracle slot.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window: never-driver-checked exact oracles (r1–r3) ---
     "html_extract": q_html_extract,
@@ -3498,14 +3500,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outliers": q_embedding_outliers,
     "region_revenue": q_region_revenue,
     "source_overlap": q_source_overlap,
-    # --- newly exact (quantized portable spec, round 4) ---
+    # --- newly exact / new in round 4 ---
     "quality_classifier": q_quality_classifier,
+    "dsir_select": q_dsir_select,
+    "token_drift": q_token_drift,
     # --- sole/primary §2 witnesses kept under every-round verification ---
-    "heuristic_gate": q_heuristic_gate,
     "null_metrics": q_null_metrics,
     "prefix_dup_rate": q_prefix_dup_rate,
     "iqr_group_score": q_iqr_group_score,
-    "membership_semijoin": q_membership_semijoin,
     "chronology": q_chronology,
     "rowsum_check": q_rowsum_check,
     "lev_bestmatch": q_lev_bestmatch,
@@ -3532,6 +3534,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_buckets": q_quality_buckets,
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
+    "heuristic_gate": q_heuristic_gate,
+    "membership_semijoin": q_membership_semijoin,
     "dedup_winners": q_dedup_winners,
     "topk_per_type": q_topk_per_type,
     "iqr_outliers": q_iqr_outliers,
@@ -3551,9 +3555,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "cosine_allpairs": q_cosine_allpairs,
     "multimodal_frames": q_multimodal_frames,
-    # --- new in round 4 (exact oracles; enter the window next round) ---
-    "dsir_select": q_dsir_select,
-    "token_drift": q_token_drift,
     # --- rows-only (non-SQL-expressible: model UDFs, LSH plans, binary) ---
     "image_features": q_image_features,
     "audio_features": q_audio_features,
