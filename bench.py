@@ -91,6 +91,7 @@ HEADLINE_QUERIES = [
     "mixture_rebalance", "sb_lm_score", "bm25_topk", "rolling_anomaly",
     "embedding_outliers", "bpe_pack", "region_revenue", "source_overlap",
     "semdedup", "domain_blocklist", "dsir_select", "token_drift",
+    "textrank_keywords", "kmeans_clusters",
 ]
 
 

@@ -3468,6 +3468,149 @@ LIMIT 20
 """
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keywords by weighted PageRank over the word co-occurrence
+    graph (TextRank, Mihalcea 2004) — the iterative-graph operator, kept
+    EXACT-oracle by the int64 fixed-point iteration spec in
+    operators/textrank.py: the SQL side rebuilds the edge table and
+    replays all three unrolled iterations with the same integer
+    divisions."""
+    from dataquality_spark.operators.textrank import textrank_keywords
+    docs = _t(spark, sf_dir, "documents")
+    pins: list[DataFrame] = []
+    out = textrank_keywords(docs, k=20, iters=3, cleanup=pins)
+    return _register_pins(out, pins)
+
+
+def _sql_textrank(k: int = 20, iters: int = 3) -> str:
+    """DuckDB mirror of the fixed-point TextRank spec: portable tokenize →
+    undirected weighted edges → ``iters`` unrolled PageRank rounds where
+    every contribution is ``(r*w) // wout`` on non-negative int64 (DuckDB
+    ``//`` ≡ Spark ``div`` there). Nothing is baked in from the Spark
+    run."""
+    from dataquality_spark.operators.textrank import TEXTRANK_SCALE
+    S = TEXTRANK_SCALE
+    base = (15 * S) // 100
+    rounds = []
+    prev = "r0"
+    for n in range(1, iters + 1):
+        rounds.append(f"""
+r{n} AS (
+  SELECT n.token,
+         CAST({base} + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN (
+    SELECT ew.dst AS token,
+           CAST(sum((p.r * ew.w) // ew.wout) AS BIGINT) AS s
+    FROM ew JOIN {prev} p ON p.token = ew.src
+    GROUP BY ew.dst) c USING (token))""")
+        prev = f"r{n}"
+    return rf"""
+WITH toks AS (
+  SELECT string_split(t, ' ') AS ws FROM (
+    SELECT lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
+               '[^A-Za-z0-9 \t\n\r\f\v]+', '', 'g'),
+               '[ \t\n\r\f\v]+', ' ', 'g'))) AS t
+    FROM documents) WHERE t <> ''
+),
+rawp AS (
+  SELECT a, b FROM (
+    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS a,
+           unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS b
+    FROM toks) WHERE a <> b
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM (SELECT a AS src, b AS dst FROM rawp
+        UNION ALL
+        SELECT b AS src, a AS dst FROM rawp)
+  GROUP BY src, dst
+),
+ew AS (
+  SELECT e.src, e.dst, e.w, o.wout
+  FROM edges e JOIN (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+                     FROM edges GROUP BY src) o USING (src)
+),
+nodes AS (SELECT DISTINCT unnest(ws) AS token FROM toks),
+r0 AS (SELECT token, CAST({S} AS BIGINT) AS r FROM nodes),{",".join(rounds)}
+SELECT token, r AS score FROM {prev}
+ORDER BY score DESC, token ASC LIMIT {k}
+"""
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd's k-means over the embeddings table (the
+    SemDeDup-paper clustering primitive) — EXACT oracle because the whole
+    iteration is integer arithmetic plus one bit-portable IEEE division
+    per centroid coordinate (operators/clustering.py)."""
+    from dataquality_spark.operators.clustering import kmeans_clusters
+    embs = _t(spark, sf_dir, "embeddings")
+    pins: list[DataFrame] = []
+    out = kmeans_clusters(spark, embs, k=_KMEANS_K, iters=_KMEANS_ITERS,
+                          dim=64, cleanup=pins)
+    return _register_pins(out, pins)
+
+
+def _sql_kmeans(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                dim: int = 64) -> str:
+    """DuckDB mirror of the fixed-point k-means spec: quantize with the
+    same floor(float64·QUANT), replay every (assign, update) round with
+    int64 distances and floor(sum/count) centroid updates, tiebreak to the
+    smaller cluster index, empty clusters carry their centroid."""
+    from dataquality_spark.operators.clustering import KMEANS_QUANT
+
+    def assign(n: int, prev_c: str) -> str:
+        return f"""
+a{n} AS (
+  SELECT vec_id, cl, d FROM (
+    SELECT vec_id, cl, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+    FROM (SELECT q.vec_id, c.cl,
+                 CAST(list_sum(list_transform(range(1, {dim + 1}),
+                     i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i])))
+                   AS BIGINT) AS d
+          FROM q CROSS JOIN {prev_c} c))
+  WHERE rn = 1)"""
+
+    def update(n: int) -> str:
+        return f"""
+c{n} AS (
+  SELECT p.cl, coalesce(u.qv, p.qv) AS qv
+  FROM c{n - 1} p LEFT JOIN (
+    SELECT cl, list(v ORDER BY i) AS qv FROM (
+      SELECT a.cl, t.i,
+             CAST(floor(CAST(sum(q.qv[t.i]) AS DOUBLE) / count(*))
+               AS BIGINT) AS v
+      FROM a{n} a JOIN q USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i)
+      GROUP BY a.cl, t.i)
+    GROUP BY cl) u USING (cl))"""
+
+    parts = []
+    for n in range(1, iters + 1):
+        parts.append(assign(n, f"c{n - 1}"))
+        parts.append(update(n))
+    parts.append(assign(iters + 1, f"c{iters}"))
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_QUANT}) AS BIGINT))
+           AS qv
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, qv
+  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+),{",".join(parts)}
+SELECT vec_id, cl AS cluster, d AS dist FROM a{iters + 1}
+"""
+
+
 # Registry ORDER is evidence policy, not aesthetics: the driver's
 # CORRECTNESS gate verifies the FIRST 50 entries each round. The window
 # below holds (a) every exact-oracle entry that had never received a
@@ -3504,9 +3647,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "dsir_select": q_dsir_select,
     "token_drift": q_token_drift,
+    "textrank_keywords": q_textrank_keywords,
+    "kmeans_clusters": q_kmeans_clusters,
     # --- sole/primary §2 witnesses kept under every-round verification ---
     "null_metrics": q_null_metrics,
-    "prefix_dup_rate": q_prefix_dup_rate,
     "iqr_group_score": q_iqr_group_score,
     "chronology": q_chronology,
     "rowsum_check": q_rowsum_check,
@@ -3515,7 +3659,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_pairs_filter": q_corr_pairs_filter,
     "date_format_check": q_date_format_check,
     "c1_neardup_rescue": q_c1_neardup_rescue,
-    "cap_per_key": q_cap_per_key,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "hypertable_rollup": q_hypertable_rollup,
@@ -3536,6 +3679,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "heuristic_gate": q_heuristic_gate,
     "membership_semijoin": q_membership_semijoin,
+    "prefix_dup_rate": q_prefix_dup_rate,
+    "cap_per_key": q_cap_per_key,
     "dedup_winners": q_dedup_winners,
     "topk_per_type": q_topk_per_type,
     "iqr_outliers": q_iqr_outliers,
@@ -3571,6 +3716,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE_SQL: dict[str, str] = {
     "fuzzy_dedup_decisions": _sql_fuzzy_dedup(),
     "quality_classifier": _sql_quality_classifier(),
+    "textrank_keywords": _sql_textrank(),
+    "kmeans_clusters": _sql_kmeans(),
     "semdedup": _sql_semdedup(),
     "domain_blocklist": _sql_domain_blocklist(),
     "heuristic_gate": _SQL_HEURISTIC_GATE,

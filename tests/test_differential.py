@@ -108,6 +108,10 @@ QUERIES_UNDER_TEST = [
     # the LIMIT boundary are totally ordered by doc_id) and the exact
     # integer token-drift top-20 (lower() İ shim, \s+ split parity)
     "dsir_select", "token_drift",
+    # fixed-point TextRank: portable tokenize + int64 PageRank rounds —
+    # adversarial unicode exercises the strip-before-lower spec, and the
+    # WS variety exercises Spark split vs DuckDB string_split parity
+    "textrank_keywords",
 ]
 
 
@@ -260,7 +264,10 @@ def test_differential_random_orders(spark, diff_orders, name):
 # --- embeddings fuzz: cross-engine float-sum rounding ----------------------
 
 EMB_QUERIES = ["embedding_knn", "cosine_allpairs", "ivf_knn",
-               "embedding_outliers", "semdedup"]
+               "embedding_outliers", "semdedup",
+               # fixed-point Lloyd's iterations: the clustered fixture's
+               # near-tie distances probe the integer-exact argmin
+               "kmeans_clusters"]
 
 
 def _random_embeddings(n=200, dim=64, seed=77):
@@ -350,6 +357,30 @@ def test_differential_semdedup_corrupt_embeddings(spark, tmp_path):
     assert kept[dup_a] and not kept[dup_b]         # first-seen wins
     # their shadows both duplicate the kept original → dropped
     assert not kept[dup_a + 1_000_000] and not kept[dup_b + 1_000_000]
+
+
+def test_differential_kmeans_corrupt_embeddings(spark, tmp_path):
+    """kmeans_clusters under the same corrupt corpus: wrong-dim / NULL /
+    NULL-element vectors are dropped by BOTH engines (the semdedup guard
+    convention); all-zero vectors are perfectly valid integer points and
+    must be assigned, not dropped."""
+    rows = _corrupt_embeddings()
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{tmp_path}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')")
+    _assert_differential(spark, con, str(tmp_path), "kmeans_clusters")
+    from dataquality_spark.queries import QUERIES, release_cached
+    out = QUERIES["kmeans_clusters"](spark, str(tmp_path))
+    got = {r.vec_id for r in out.collect()}
+    release_cached(out)
+    valid = {r[0] for r in rows
+             if r[1] is not None and len(r[1]) == 64
+             and all(x is not None for x in r[1])}
+    assert got == valid       # 80 valid + 3 zero + 2 dup assigned, rest out
 
 
 # --- NULL keys in documents: the when/otherwise vs CASE/ELSE asymmetry -----
