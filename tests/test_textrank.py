@@ -92,6 +92,17 @@ def test_overflow_guard_trips(spark):
         textrank_keywords(df, scale=1 << 62)
 
 
+def test_driver_and_distributed_paths_agree(spark):
+    # the size-adaptive cutover must be invisible: force the distributed
+    # join rounds (driver_max_edges=0) and compare against the default
+    # driver loop on the same corpus
+    texts = [f"w{i % 6} w{(i + 2) % 6} w{(i * 5) % 11} common"
+             for i in range(60)] + ["solo", "", None]
+    a = _run(spark, texts)
+    b = _run(spark, texts, driver_max_edges=0)
+    assert a == b
+
+
 def test_partition_invariance(spark):
     texts = [f"w{i % 5} w{(i + 1) % 5} w{(i * 3) % 7}" for i in range(50)]
     a = _run(spark, texts)
