@@ -1,0 +1,142 @@
+"""C4/Gopher line-level page cleaning as native DataFrame expressions.
+
+C4 (Raffel et al. 2020, "Exploring the Limits of Transfer Learning with a
+Unified Text-to-Text Transformer", §2.2) cleans Common Crawl pages line by
+line: retain only lines that end in a terminal punctuation mark, contain at
+least five words, and do not contain the word "javascript"; then discard
+whole pages that contain a curly brace or the phrase "lorem ipsum", or that
+retain fewer than three lines (C4 states the floor in sentences; at line
+granularity the retained-line count is the standard restatement, cf.
+RefinedWeb appendix). Gopher (Rae et al. 2021, "Scaling Language Models",
+§A1.1) adds page-shape rules over the same line list: at most 90% of lines
+may start with a bullet and at most 30% may end with an ellipsis.
+
+The reference has no line-level stage — its quality tests are whole-column
+heuristics (`dimensions/accuracy/a1.py:34-72`) — so this module is the
+web-curation analogue its rule registry implies, built the way the rest of
+`rules/heuristics.py` is: split → per-line predicate → rejoin inside ONE
+projection using higher-order functions (`filter`/`transform`), no UDF, no
+shuffle. The operator is a narrow map: at 100 TB it costs exactly one pass,
+composes with column pruning, and the boolean `page_kept` pushes into any
+downstream filter.
+
+NULL convention (pinned on both engines, same class as the dsir_select /
+token_drift NULL-key pins): a NULL page is treated as the empty page — one
+empty line, nothing retained, `page_kept = false` — via an explicit
+coalesce, so neither engine's NULL propagation decides the flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# C4 §2.2: "terminal punctuation mark (i.e. a period, exclamation mark,
+# question mark, or end quotation mark)"
+TERMINAL_PUNCT = (".", "!", "?", '"')
+# Gopher A1.1 bullet/ellipsis line prefixes and suffixes.
+BULLET_PREFIXES = ("- ", "• ", "* ")
+ELLIPSIS_SUFFIXES = ("…", "...")
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+
+
+def _line_word_count(line: Column) -> Column:
+    """Words on one rendered line: split on single spaces, drop empties.
+    Kept deliberately simpler than functions/text.words_col (\\s+): a line
+    by construction has no internal newlines/tabs, and the single-space
+    split is cheap enough to run per line inside the higher-order filter."""
+    return F.size(F.filter(F.split(line, " "), lambda w: w != F.lit("")))
+
+
+def _c4_keep_line(line: Column, min_line_words: int) -> Column:
+    return (
+        F.substring(line, -1, 1).isin(list(TERMINAL_PUNCT))
+        & (_line_word_count(line) >= F.lit(min_line_words))
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_line_words: int = C4_MIN_LINE_WORDS,
+    min_kept_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4 §2.2 line filter + page gate in one shuffle-free projection.
+
+    Returns ``(id_col, c4_text, total_lines, kept_lines, page_kept)`` where
+    ``c4_text`` is the retained lines rejoined with ``sep`` ('' when nothing
+    survives) and ``page_kept`` applies the page-level rules (no '{', no
+    case-insensitive 'lorem ipsum', >= min_kept_lines retained lines).
+    ``sep`` is used as a literal by the rejoin and as a regex by the split —
+    pass a regex-neutral separator (the default newline is).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, sep)
+    kept = F.filter(lines, lambda l: _c4_keep_line(l, min_line_words))
+    page_kept = (
+        ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+        & (F.size(kept) >= F.lit(min_kept_lines))
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("c4_text"),
+        F.size(lines).alias("total_lines"),
+        F.size(kept).alias("kept_lines"),
+        page_kept.alias("page_kept"),
+    )
+
+
+def _any_startswith(line: Column, prefixes: tuple[str, ...]) -> Column:
+    out = F.lit(False)
+    for p in prefixes:
+        out = out | line.startswith(p)
+    return out
+
+
+def _any_endswith(line: Column, suffixes: tuple[str, ...]) -> Column:
+    out = F.lit(False)
+    for s in suffixes:
+        out = out | line.endswith(s)
+    return out
+
+
+def gopher_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_bullet_frac: float = GOPHER_MAX_BULLET_FRAC,
+    max_ellipsis_frac: float = GOPHER_MAX_ELLIPSIS_FRAC,
+) -> DataFrame:
+    """Gopher A1.1 page-shape stats: bullet-start and ellipsis-end line
+    fractions plus their PASS flags (<= 90% / <= 30%), same flag-column
+    convention as rules/heuristics.py (True = PASS).
+
+    The fractions are emitted as the raw single division of two counts —
+    both engines divide identical integers, so the doubles are
+    bit-identical without any rounding shim (the float-free oracle
+    design rule; see the İ/round(·,4) episodes in BENCH/BASELINE.md).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, sep)
+    n = F.size(lines)  # split yields >= 1 element, so n >= 1 always
+    bullets = F.size(F.filter(lines, lambda l: _any_startswith(l, BULLET_PREFIXES)))
+    ells = F.size(F.filter(lines, lambda l: _any_endswith(l, ELLIPSIS_SUFFIXES)))
+    bullet_frac = bullets / n
+    ellipsis_frac = ells / n
+    return df.select(
+        F.col(id_col),
+        n.alias("total_lines"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        (bullet_frac <= F.lit(max_bullet_frac)).alias("r_bullet"),
+        (ellipsis_frac <= F.lit(max_ellipsis_frac)).alias("r_ellipsis"),
+    )

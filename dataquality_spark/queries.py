@@ -3611,6 +3611,152 @@ SELECT vec_id, cl AS cluster, d AS dist FROM a{iters + 1}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q84/Q85 — C4 line filter and Gopher line-shape flags over deterministically
+# decorated "web pages". The documents table is a flat word stream (no
+# newlines, no punctuation), so — the canonical_url pattern — each query
+# first renders it into pages with lines on BOTH engines from the same
+# integer recipe: words are chunked 8 per line; line i of doc d gets a
+# bullet prefix when (d+i)%7=0 (every line when d%19=0, so the Gopher
+# 90% bullet gate fails for some pages), an injected 'javascript' token when
+# (d+3i)%11=0, and a terminal suffix from ['.','!','…','"',''] indexed by
+# (31d+i)%5; pages with d%13=0 gain a brace line and d%17=0 a 'Lorem
+# Ipsum' line. Every branch of the C4/Gopher rules is exercised, and the
+# construction is pure int arithmetic + string concat, identical under
+# Spark and DuckDB. The operators themselves (operators/linefilter.py)
+# are generic newline-line filters — shuffle-free narrow maps.
+
+_PAGE_WORDS_PER_LINE = 8
+
+
+def _decorated_pages(docs: DataFrame) -> DataFrame:
+    """Render the flat word stream into deterministic multi-line pages."""
+    wpl = _PAGE_WORDS_PER_LINE
+    d = F.col("doc_id")
+    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(ws) / F.lit(float(wpl))).cast("int"), F.lit(1))
+
+    def line(i):
+        base = F.array_join(F.slice(ws, i * wpl + 1, wpl), " ")
+        bullet = F.when((d % 19 == 0) | ((d + i) % 7 == 0),
+                        F.lit("- ")).otherwise(F.lit(""))
+        js = F.when((d + 3 * i) % 11 == 0,
+                    F.lit(" javascript")).otherwise(F.lit(""))
+        suffix = F.element_at(
+            F.array(F.lit("."), F.lit("!"), F.lit("…"), F.lit('"'),
+                    F.lit("")),
+            ((d * 31 + i) % 5 + 1).cast("int"))
+        return F.concat(bullet, base, js, suffix)
+
+    page = F.concat(
+        F.array_join(F.transform(F.sequence(F.lit(0), n_lines - 1), line),
+                     "\n"),
+        F.when(d % 13 == 0, F.lit("\nvar x = { a: 1 };")).otherwise(F.lit("")),
+        F.when(d % 17 == 0,
+               F.lit("\nLorem Ipsum dolor sit amet.")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", page.alias("text"))
+
+
+_SQL_DECORATED_PAGES = f"""
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY i)
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'var x = {{ a: 1 }};' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN chr(10) || 'Lorem Ipsum dolor sit amet.' ELSE '' END
+           AS text
+  FROM (
+    SELECT doc_id, i,
+           (CASE WHEN doc_id % 19 = 0 OR (doc_id + i) % 7 = 0
+                 THEN '- ' ELSE '' END)
+           || array_to_string(
+                ws[i*{_PAGE_WORDS_PER_LINE}+1 : (i+1)*{_PAGE_WORDS_PER_LINE}],
+                ' ')
+           || (CASE WHEN (doc_id + 3*i) % 11 = 0
+                    THEN ' javascript' ELSE '' END)
+           || (['.', '!', '…', '"', ''])[((doc_id*31 + i) % 5)::int + 1]
+             AS line
+    FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws
+          FROM documents) w,
+         unnest(range(0, greatest(ceil(len(ws) / {_PAGE_WORDS_PER_LINE}.0)::int,
+                                  1))) t(i)
+  ) GROUP BY doc_id
+"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 page cleaning (Raffel et al. 2020): keep lines ending in
+    terminal punctuation with >=5 words and no 'javascript'; gate pages on
+    no brace / no 'lorem ipsum' / >=3 retained lines. BYTE-EXACT oracle on
+    the rebuilt c4_text. Shuffle-free narrow map — the 100-TB plan is one
+    pass over the scan."""
+    from dataquality_spark.operators.linefilter import c4_line_filter
+    pages = _decorated_pages(_t(spark, sf_dir, "documents"))
+    return c4_line_filter(pages, id_col="doc_id", text_col="text")
+
+
+_SQL_C4_LINE_FILTER = f"""
+WITH pages AS ({_SQL_DECORATED_PAGES}),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM pages
+),
+k AS (
+  SELECT doc_id, line, pos,
+         right(line, 1) IN ('.', '!', '?', '"')
+         AND len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+         AND NOT contains({_sql_full_lower('line')}, 'javascript') AS keep
+  FROM l
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep THEN line END,
+                             chr(10) ORDER BY pos), '') AS c4_text,
+         count(*)::int AS total_lines,
+         (count(*) FILTER (WHERE keep))::int AS kept_lines
+  FROM k GROUP BY doc_id
+)
+SELECT a.doc_id, a.c4_text, a.total_lines, a.kept_lines,
+       (NOT contains(p.text, '{{')
+        AND NOT contains({_sql_full_lower('p.text')}, 'lorem ipsum')
+        AND a.kept_lines >= 3) AS page_kept
+FROM agg a JOIN pages p USING (doc_id)
+"""
+
+
+def q_gopher_line_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.1 page-shape rules (Rae et al. 2021): bullet-start and
+    ellipsis-end line fractions with their PASS flags (<=90%, <=30%). The
+    fractions are one division of identical integers on both engines —
+    bit-identical without rounding (float-free oracle rule)."""
+    from dataquality_spark.operators.linefilter import gopher_line_stats
+    pages = _decorated_pages(_t(spark, sf_dir, "documents"))
+    return gopher_line_stats(pages)
+
+
+_SQL_GOPHER_LINE_FLAGS = f"""
+WITH pages AS ({_SQL_DECORATED_PAGES}),
+l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM pages),
+a AS (
+  SELECT doc_id, count(*)::int AS total_lines,
+         count(*) FILTER (WHERE line LIKE '- %' OR line LIKE '• %'
+                             OR line LIKE '* %') AS bullets,
+         count(*) FILTER (WHERE line LIKE '%…' OR line LIKE '%...') AS ells
+  FROM l GROUP BY doc_id
+)
+SELECT doc_id, total_lines,
+       bullets / total_lines AS bullet_frac,
+       ells / total_lines AS ellipsis_frac,
+       bullets / total_lines <= 0.9 AS r_bullet,
+       ells / total_lines <= 0.3 AS r_ellipsis
+FROM a
+"""
+
+
 # Registry ORDER is evidence policy, not aesthetics: the driver's
 # CORRECTNESS gate verifies the FIRST 50 entries each round. The window
 # below holds (a) every exact-oracle entry that had never received a
@@ -3649,6 +3795,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_drift": q_token_drift,
     "textrank_keywords": q_textrank_keywords,
     "kmeans_clusters": q_kmeans_clusters,
+    "c4_line_filter": q_c4_line_filter,
+    "gopher_line_flags": q_gopher_line_flags,
     # --- sole/primary §2 witnesses kept under every-round verification ---
     "null_metrics": q_null_metrics,
     "iqr_group_score": q_iqr_group_score,
@@ -3663,13 +3811,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "hypertable_rollup": q_hypertable_rollup,
     "sessionize": q_sessionize,
-    "canonical_url": q_canonical_url,
     "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
     "normalize_text": q_normalize_text,
     "ivf_knn": q_ivf_knn,
     "scrub_documents": q_scrub_documents,
-    "multimodal_decode": q_multimodal_decode,
     "neardup_components": q_neardup_components,
     "token_budget_sample": q_token_budget_sample,
     "decontaminate": q_decontaminate,
@@ -3677,6 +3823,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_buckets": q_quality_buckets,
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
+    "canonical_url": q_canonical_url,
+    "multimodal_decode": q_multimodal_decode,
     "heuristic_gate": q_heuristic_gate,
     "membership_semijoin": q_membership_semijoin,
     "prefix_dup_rate": q_prefix_dup_rate,
@@ -3787,4 +3935,6 @@ ORACLE_SQL: dict[str, str] = {
     "source_overlap": _SQL_SOURCE_OVERLAP,
     "dsir_select": _sql_dsir_select(),
     "token_drift": _SQL_TOKEN_DRIFT,
+    "c4_line_filter": _SQL_C4_LINE_FILTER,
+    "gopher_line_flags": _SQL_GOPHER_LINE_FLAGS,
 }

@@ -112,6 +112,12 @@ QUERIES_UNDER_TEST = [
     # adversarial unicode exercises the strip-before-lower spec, and the
     # WS variety exercises Spark split vs DuckDB string_split parity
     "textrank_keywords",
+    # C4/Gopher line filters: the decorated-page builder and the line
+    # predicates run over NULL/empty/unicode text — İstanbul exercises the
+    # lower() shim in the 'javascript'/'lorem ipsum' contains, non-BMP and
+    # '...' tokens exercise the last-char terminal-punct parity, and WS
+    # tokens embed newlines that become extra lines on both engines
+    "c4_line_filter", "gopher_line_flags",
 ]
 
 
