@@ -406,7 +406,30 @@ def simhash64_py(sh: list[str]) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def simhash_udf(shingle_n: int = 2):
+def simhash64_portable_py(sh: list[str]) -> int:
+    """ENGINE-PORTABLE scalar SimHash spec (the `simhash64_py` shape under
+    the portable hash chain): shingles come from ``shingles_portable``,
+    each hashes through ``poly_hash31``, and bit j's ±1 vote is the PARITY
+    of the j-th universal permutation g_j(h) = (a_j·h + b_j) mod M — the
+    SAME ``_perm_params(64)`` table the portable MinHash signature uses,
+    so DuckDB recomputes the full 64-bit signature bit-for-bit (parity of
+    a residue mod the odd Mersenne prime is an unbiased coin). Returns a
+    SIGNED 64-bit int (Spark ``long`` wrap-around)."""
+    if not sh:
+        return 0
+    votes = [0] * 64
+    for s in sh:
+        h = poly_hash31(s)
+        for j, (a, b) in enumerate(_perm_params()):
+            votes[j] += 1 if ((a * h + b) % _MERSENNE) & 1 else -1
+    v = 0
+    for j in range(64):
+        if votes[j] > 0:
+            v |= 1 << j
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_udf(shingle_n: int = 2, signature_spec: str = "crc32"):
     """pandas UDF: text → 64-bit SimHash (long).
 
     Replaces the round-1 JVM formulation (nested ``aggregate`` over 64 bit
@@ -415,16 +438,48 @@ def simhash_udf(shingle_n: int = 2):
     shingling pass + one numpy bit-matrix reduction per row, Arrow-batched —
     the same shape as the minhash UDF and sharing its ``shingles_py``
     tokenizer. Byte-equal to ``simhash64_py`` (pytest oracle).
+
+    ``signature_spec="portable"`` switches to the SQL-reproducible spec
+    (``simhash64_portable_py``): portable shingles, batch-vectorized
+    ``poly_hash_flat``, and the 64 permutation parities as one numpy
+    matrix op — the exact-oracle path, same speed class as crc32.
     """
     from zlib import crc32
 
     from dataquality_spark.models.corpus import mix64
 
+    if signature_spec not in ("crc32", "portable"):
+        raise ValueError(f"unknown signature_spec {signature_spec!r}")
+    portable = signature_spec == "portable"
     bit_idx = np.arange(64, dtype=np.uint64)
+    if portable:
+        params = _perm_params()
+        A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    _poly_hash_flat = poly_hash_flat
 
     @F.pandas_udf("long")
     def sim(text_s: pd.Series) -> pd.Series:
         out = np.zeros(len(text_s), dtype=np.int64)
+        if portable:
+            all_sh = [shingles_portable(t, shingle_n) for t in text_s]
+            flat = [s.encode("ascii") for sh in all_sh for s in sh]
+            hv_all = _poly_hash_flat(flat) if flat else np.empty(
+                0, dtype=np.int64)
+            off = 0
+            for i, sh in enumerate(all_sh):
+                if not sh:
+                    continue
+                h = hv_all[off:off + len(sh)][None, :]
+                off += len(sh)
+                # a,h < 2^31 ⇒ a*h + b < 2^62: no int64 overflow
+                bits = ((A * h + B) % _MERSENNE) & 1  # [64, n_sh]
+                votes = 2 * bits.sum(axis=1) - len(sh)
+                v = np.uint64(0)
+                for j in np.nonzero(votes > 0)[0]:
+                    v |= np.uint64(1) << np.uint64(j)
+                out[i] = v.astype(np.int64)
+            return pd.Series(out)
         for i, t in enumerate(text_s):
             sh = shingles_py(t, shingle_n)
             if not sh:
@@ -550,6 +605,7 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "url",
                            text_col: str = "text", max_hamming: int = 3,
                            shingle_n: int = 2,
                            max_bucket_size: int | None = 200,
+                           signature_spec: str = "crc32",
                            cleanup: list[DataFrame] | None = None) -> DataFrame:
     """SimHash near-dup pairs, the Manku/Jain/Das Sarma WWW'07 web-dedup
     design (public): split each 64-bit SimHash into 4 contiguous 16-bit
@@ -573,7 +629,8 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "url",
     # UDF runs once, not once per side (same contract as near_dup_pairs;
     # measured 7.5s → signature-once via the cache)
     base = df.select(F.col(id_col).alias("_id"),
-                     simhash_udf(shingle_n)(F.col(text_col)).alias("_sh")) \
+                     simhash_udf(shingle_n, signature_spec)(
+                         F.col(text_col)).alias("_sh")) \
              .persist(StorageLevel.MEMORY_AND_DISK)
     if cleanup is not None:
         cleanup.append(base)

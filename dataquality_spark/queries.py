@@ -1765,24 +1765,102 @@ WHERE rn <= 3
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manku-style banded SimHash near-dup join (rows-only: the signature
-    is a model UDF; the 100%-recall-at-Hamming≤3 guarantee and the
-    brute-force-oracle equality are pytest-verified)."""
+    """Manku-style banded SimHash near-dup join under the PORTABLE
+    signature spec (`operators/dedup.py::simhash64_portable_py`) — EXACT
+    oracle: the 4×16-bit banding guarantees 100% recall at Hamming≤3
+    (pigeonhole), so with the hot-bucket cap off the banded join equals
+    the brute-force pair set DuckDB computes directly from the
+    recomputed signatures. The cap (`max_bucket_size`) stays the
+    operator's scale default — it is the knob that bounds boilerplate
+    mega-buckets at 100 TB, and its capped plan is pytest-pinned; this
+    registry entry trades it for provable exactness at oracle scale."""
     from dataquality_spark.operators.dedup import simhash_near_dup_pairs
     docs = _t(spark, sf_dir, "documents")
     pins: list[DataFrame] = []
     out = simhash_near_dup_pairs(docs, id_col="doc_id", max_hamming=3,
-                                 cleanup=pins)
+                                 max_bucket_size=None,
+                                 signature_spec="portable", cleanup=pins)
     return _register_pins(out, pins)
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints: distribution of 16-bit prefix buckets."""
+    """SimHash fingerprints: distribution of 16-bit prefix buckets, under
+    the portable signature spec so DuckDB recomputes every signature
+    bit-for-bit (EXACT oracle; was rows-only under the crc32 spec)."""
     from dataquality_spark.operators.dedup import simhash_udf
     docs = _t(spark, sf_dir, "documents")
     return (docs.select(F.shiftrightunsigned(
-                simhash_udf()(F.col("text")), 48).alias("bucket"))
+                simhash_udf(2, signature_spec="portable")(F.col("text")),
+                48).alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _sql_simhash_sig(shingle_n: int = 2) -> str:
+    """Shared DuckDB CTE chain recomputing the portable 64-bit SimHash per
+    document: portable shingles → poly_hash31 → 64 permutation parities →
+    vote-packed signature. Constants are read from `operators/dedup.py`
+    (the `_sql_fuzzy_dedup` generated-oracle pattern) so the engines
+    cannot drift. Bit 63 is the int64 sign bit — added as the wrapped
+    literal; docs with no shingles pin to signature 0 on both engines."""
+    from dataquality_spark.operators.dedup import _MERSENNE, _perm_params
+    params = _perm_params()
+    a_lit = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in params) + "]"
+    n = shingle_n
+    return rf"""norm AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^A-Za-z0-9 \t\n\r\f\v]+', '', 'g'),
+             '[ \t\n\r\f\v]+', ' ', 'g'))) AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_filter(list_distinct(list_transform(
+             range(1, greatest(len(str_split(t, ' ')) - {n}, 0) + 2),
+             i -> array_to_string(list_slice(str_split(t, ' '), i,
+                                             i + {n - 1}), ' ')
+         )), x -> x IS NOT NULL AND x <> '') AS s
+  FROM norm
+),
+hs AS (
+  SELECT doc_id, list_transform(s, g -> list_reduce(
+             list_transform(str_split(g, ''), c -> unicode(c)::bigint),
+             (a, b) -> (a * 31 + b) % {_MERSENNE})) AS hv
+  FROM sh
+),
+votes AS (
+  SELECT doc_id, j.j,
+         SUM(CASE WHEN (({a_lit}[j.j + 1] * hh.h + {b_lit}[j.j + 1])
+                        % {_MERSENNE}) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM (SELECT doc_id, unnest(hv) AS h FROM hs WHERE len(hv) > 0) hh,
+       range(0, 64) j(j)
+  GROUP BY doc_id, j.j
+),
+sig AS (
+  SELECT d.doc_id,
+         coalesce(CAST(SUM(CASE WHEN v.v > 0 THEN
+             CASE WHEN v.j = 63 THEN (-9223372036854775807 - 1)
+                  ELSE (1::BIGINT << v.j::int) END
+             ELSE 0 END) AS BIGINT), 0) AS sh64
+  FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)"""
+
+
+_SQL_SIMHASH_BUCKETS = f"""
+WITH {_sql_simhash_sig()}
+SELECT (sh64 >> 48) & 65535 AS bucket, count(*) AS n
+FROM sig GROUP BY 1
+"""
+
+_SQL_SIMHASH_NEARDUP = f"""
+WITH {_sql_simhash_sig()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh64, b.sh64))::int AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh64, b.sh64)) <= 3
+"""
 
 
 def q_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3797,6 +3875,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters": q_kmeans_clusters,
     "c4_line_filter": q_c4_line_filter,
     "gopher_line_flags": q_gopher_line_flags,
+    "simhash_buckets": q_simhash_buckets,
+    "simhash_neardup": q_simhash_neardup,
     # --- sole/primary §2 witnesses kept under every-round verification ---
     "null_metrics": q_null_metrics,
     "iqr_group_score": q_iqr_group_score,
@@ -3809,8 +3889,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c1_neardup_rescue": q_c1_neardup_rescue,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
-    "hypertable_rollup": q_hypertable_rollup,
-    "sessionize": q_sessionize,
     "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
     "normalize_text": q_normalize_text,
@@ -3825,6 +3903,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "canonical_url": q_canonical_url,
     "multimodal_decode": q_multimodal_decode,
+    "hypertable_rollup": q_hypertable_rollup,
+    "sessionize": q_sessionize,
     "heuristic_gate": q_heuristic_gate,
     "membership_semijoin": q_membership_semijoin,
     "prefix_dup_rate": q_prefix_dup_rate,
@@ -3854,8 +3934,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
-    "simhash_buckets": q_simhash_buckets,
-    "simhash_neardup": q_simhash_neardup,
     "embedding_neardup": q_embedding_neardup,
     "bpe_tokenize": q_bpe_tokenize,
     "bpe_pack": q_bpe_pack,
@@ -3937,4 +4015,6 @@ ORACLE_SQL: dict[str, str] = {
     "token_drift": _SQL_TOKEN_DRIFT,
     "c4_line_filter": _SQL_C4_LINE_FILTER,
     "gopher_line_flags": _SQL_GOPHER_LINE_FLAGS,
+    "simhash_buckets": _SQL_SIMHASH_BUCKETS,
+    "simhash_neardup": _SQL_SIMHASH_NEARDUP,
 }

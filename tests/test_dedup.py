@@ -149,6 +149,64 @@ def test_simhash_udf_matches_python_oracle(spark):
     assert got == want
 
 
+def test_simhash_portable_udf_matches_scalar_spec(spark):
+    """The portable (exact-oracle) SimHash: the batch-vectorized UDF must
+    equal the scalar simhash64_portable_py spec bit-for-bit, including
+    sign wrap, empty/None inputs, and non-ASCII stripped-to-empty text."""
+    from dataquality_spark.operators.dedup import (
+        shingles_portable, simhash64_portable_py)
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a b", "", None, "single", "データのみ",  # strips to empty
+        " ".join(f"w{i}" for i in range(200)),
+        "İstanbul 42 mixed ascii and ünicode here",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    got = [r["sh"] for r in df.select(
+        simhash_udf(2, signature_spec="portable")(F.col("text"))
+        .alias("sh")).collect()]
+    want = [simhash64_portable_py(shingles_portable(t, 2)) for t in texts]
+    assert got == want
+    with pytest.raises(ValueError):
+        simhash_udf(2, signature_spec="md5")
+
+
+def test_simhash_portable_banded_join_equals_brute_force(spark):
+    """Uncapped banded join under the portable spec (the registry/oracle
+    configuration) equals the brute-force Hamming<=3 pair set."""
+    from itertools import combinations
+    from dataquality_spark.operators.dedup import (
+        shingles_portable, simhash64_portable_py, simhash_near_dup_pairs)
+
+    base = " ".join(f"word{i} tok{i * 3 % 97}" for i in range(120))
+    words = base.split()
+    texts = {"d0": base,
+             # one changed word: measured Hamming 3 under the portable spec
+             "near": " ".join(w + "z" if i == 5 else w
+                              for i, w in enumerate(words)),
+             # heavier perturbation: measured Hamming 11 (must NOT pair)
+             "mid": " ".join(w + "z" if i % 60 == 0 else w
+                             for i, w in enumerate(words)),
+             "far": " ".join(f"zzz{i} qq{i * 7}" for i in range(120))}
+
+    hashes = {u: simhash64_portable_py(shingles_portable(t, 2))
+              & ((1 << 64) - 1) for u, t in texts.items()}
+    want = {(a, b) for a, b in combinations(sorted(texts), 2)
+            if bin(hashes[a] ^ hashes[b]).count("1") <= 3}
+    assert want, "fixture must contain at least one close pair"
+
+    df = spark.createDataFrame(
+        [(u, "2024-01-01", t) for u, t in texts.items()],
+        "url string, warc_ts string, text string")
+    got_rows = simhash_near_dup_pairs(
+        df, max_hamming=3, max_bucket_size=None,
+        signature_spec="portable").collect()
+    assert {tuple(sorted((r["id_a"], r["id_b"]))) for r in got_rows} == want
+    for r in got_rows:
+        a, b = r["id_a"], r["id_b"]
+        assert r["hamming"] == bin(hashes[a] ^ hashes[b]).count("1")
+
+
 def test_dedup_paragraphs_semantics(spark):
     """Cross-doc + within-doc paragraph dedup with reconstruction: first
     occurrence (min (order, id, pos)) wins; blanks are not dedup keys; a

@@ -118,6 +118,9 @@ QUERIES_UNDER_TEST = [
     # '...' tokens exercise the last-char terminal-punct parity, and WS
     # tokens embed newlines that become extra lines on both engines
     "c4_line_filter", "gopher_line_flags",
+    # portable-spec SimHash (exact as of round 4): signature parity under
+    # NULL/empty/unicode-stripped text, plus the brute-force pair oracle
+    "simhash_buckets", "simhash_neardup",
 ]
 
 
