@@ -148,6 +148,38 @@ def _bucket_udf(spark: SparkSession, dim: int, n_planes: int, seed: int = 42):
     return bucket
 
 
+def seq_cos_udf():
+    """SEQUENTIAL cosine fold, vectorized ACROSS rows: the dim-loop adds
+    a_j·b_j in index order, so every row's accumulation is bit-identical
+    to the oracle's left-to-right list_aggregate fold (0.0 + p_1 + p_2 …)
+    — unlike BLAS/np.sum, whose blocked order splits round(·,4) at knife
+    edges. A zip_with/aggregate HOF spelling is exact too but evaluates
+    INTERPRETED per element (measured 12-16s at 20k candidates × 64
+    dims); this Arrow kernel is the same arithmetic at numpy speed.
+    Per-factor norm clamps mirror the oracle's greatest(·, 1e-12), so an
+    all-zero vector yields sim 0 on both engines, never NaN. Shared by
+    semantic_dedup and the portable embedding_near_dup_pairs verify."""
+
+    @F.pandas_udf("double")
+    def _seq_cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.zeros(0))
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        dot = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(A))
+        for j in range(A.shape[1]):
+            dot += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        den = (np.maximum(np.sqrt(na), 1e-12)
+               * np.maximum(np.sqrt(nb), 1e-12))
+        return pd.Series(dot / den)
+
+    return _seq_cos
+
+
 def _band_bucket_udf(spark: SparkSession, dim: int, bands: int,
                      band_bits: int, seed: int = 7):
     """vec → array of ``bands`` bucket keys; key b packs (b, sign bits of the
@@ -175,6 +207,36 @@ def _band_bucket_udf(spark: SparkSession, dim: int, bands: int,
     return buckets
 
 
+def _band_bucket_udf_portable(spark: SparkSession, dim: int, bands: int,
+                              band_bits: int):
+    """SQL-reproducible sibling of ``_band_bucket_udf``: the planes are the
+    deterministic ±1 matrix of ``mixed_planes`` and each sign bit is an
+    exact INTEGER dot of the fixed-point-quantized vector — so DuckDB
+    recomputes every band key bit-for-bit. Same key packing as the gauss
+    path: key = (band << band_bits) | sign bits in block order."""
+    R = mixed_planes(dim, bands * band_bits)
+    b_r = spark.sparkContext.broadcast(R)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        R_ = b_r.value
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        Q = np.floor(V * SEMDEDUP_QUANT + 0.5).astype(np.int64)
+        bits = (Q @ R_.T) >= 0               # [B, bands*band_bits], exact
+        out = []
+        for row in bits:
+            keys = []
+            for b in range(bands):
+                k = b
+                for bit in row[b * band_bits:(b + 1) * band_bits]:
+                    k = (k << 1) | int(bit)
+                keys.append(k)
+            out.append(keys)
+        return pd.Series(out, dtype=object)
+
+    return buckets
+
+
 def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
                              threshold: float = 0.9,
                              bands: int = 8, band_bits: int = 6,
@@ -182,6 +244,7 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
                              vec_col: str = "embedding",
                              dim: int | None = None, seed: int = 7,
                              max_bucket_size: int = 200,
+                             plane_spec: str = "gauss",
                              cleanup: list[DataFrame] | None = None
                              ) -> DataFrame:
     """ALL-PAIRS embedding near-duplicates — the dense-vector analogue of
@@ -210,8 +273,17 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
             return spark.createDataFrame(
                 [], "id_a long, id_b long, cos_sim double")
         dim = len(head[0][0])
+    if plane_spec not in ("gauss", "portable"):
+        raise ValueError(f"unknown plane_spec {plane_spec!r}")
     df = _vec_guard(df, vec_col, dim)
-    buckets = _band_bucket_udf(spark, dim, bands, band_bits, seed)
+    if plane_spec == "portable":
+        # the fixed-point quantization is undefined on a NULL element
+        # (np.floor(NaN)→int64 is UB) while SQL SUM skips the NULL term —
+        # drop such rows on both engines, exactly like semantic_dedup
+        df = df.where(~F.exists(F.col(vec_col), lambda x: x.isNull()))
+        buckets = _band_bucket_udf_portable(spark, dim, bands, band_bits)
+    else:
+        buckets = _band_bucket_udf(spark, dim, bands, band_bits, seed)
     base = (df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
             .withColumn("_bkeys", buckets(F.col("_v")))
             .persist(StorageLevel.MEMORY_AND_DISK))
@@ -232,6 +304,16 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
                                F.col("_v").alias("_va")), "id_a")
              .join(base.select(F.col("_id").alias("id_b"),
                                F.col("_v").alias("_vb")), "id_b"))
+
+    if plane_spec == "portable":
+        # exact-oracle verify: the SAME sequential fold DuckDB computes,
+        # decided on round(·, 4) ≥ threshold (F.round ≡ DuckDB round is
+        # the fuzz-validated bridge; np.round's half-even is not)
+        seq = seq_cos_udf()
+        return (pairs.withColumn("_cos", seq(F.col("_va"), F.col("_vb")))
+                .where(F.round(F.col("_cos"), 4) >= F.lit(float(threshold)))
+                .select("id_a", "id_b",
+                        F.round("_cos", 6).alias("cos_sim")))
 
     @F.pandas_udf("double")
     def cos(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -458,6 +540,26 @@ def rademacher_planes(dim: int, n_planes: int) -> np.ndarray:
     return (2 * bits - 1).reshape(n_planes, dim)
 
 
+def mixed_planes(dim: int, n_planes: int) -> np.ndarray:
+    """±1 planes from a 2-round LCG+xorshift mixer. ``rademacher_planes``
+    is affine in the flat index, so planes ``dim`` apart share linear
+    structure — measured max pairwise |corr| 1.0 over 48 planes (some
+    pairs identical), which collapses banded-LSH recall (21/25 on the
+    planted fixture). Interleaving two mod-mult rounds with xor-shifts
+    breaks the linearity: max |corr| 0.38, mean 0.10 — Gaussian-grade
+    (24/25 on the same fixture, matching gauss planes). Every step is
+    exact BIGINT on both engines (products < 2^61, no overflow; DuckDB
+    mirrors with xor()/>>). semdedup keeps the 1-round spec: its keys
+    only partition cells, where plane correlation costs nothing."""
+    idx = np.arange(n_planes * dim, dtype=np.int64)
+    s = (SEMDEDUP_LCG_A * idx + SEMDEDUP_LCG_C) % SEMDEDUP_LCG_M
+    s = s ^ (s >> 13)
+    s = (SEMDEDUP_LCG_A * s + SEMDEDUP_LCG_C) % SEMDEDUP_LCG_M
+    s = s ^ (s >> 7)
+    bits = (s >> SEMDEDUP_SIGN_BIT) & 1
+    return (2 * bits - 1).reshape(n_planes, dim)
+
+
 def semantic_cell_udf(spark: SparkSession, dim: int, n_planes: int):
     """vec → cell key: bit p of the key is 1 iff the Rademacher plane p has
     a non-negative INTEGER dot with the fixed-point-quantized vector
@@ -558,32 +660,9 @@ def semantic_dedup(spark: SparkSession, df: DataFrame,
     cand = base.groupBy("cell").applyInPandas(
         cell_pairs, "id_b long, _ae array<double>, _be array<double>")
 
-    # SEQUENTIAL cosine fold, vectorized ACROSS rows: the dim-loop adds
-    # a_j·b_j in index order, so every row's accumulation is bit-identical
-    # to the oracle's left-to-right list_aggregate fold (0.0 + p_1 + p_2 …)
-    # — unlike BLAS/np.sum, whose blocked order splits round(·,4) at knife
-    # edges. A zip_with/aggregate HOF spelling is exact too but evaluates
-    # INTERPRETED per element (measured 12-16s at 20k candidates × 64
-    # dims); this Arrow kernel is the same arithmetic at numpy speed.
     # round(·,4) stays JVM-side: F.round ≡ DuckDB round is the
     # fuzz-validated bridge (np.round is half-even, DuckDB half-away).
-    @F.pandas_udf("double")
-    def _seq_cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
-            return pd.Series(np.zeros(0))
-        A = np.array(a.tolist(), dtype=np.float64)
-        B = np.array(b.tolist(), dtype=np.float64)
-        dot = np.zeros(len(A))
-        na = np.zeros(len(A))
-        nb = np.zeros(len(A))
-        for j in range(A.shape[1]):
-            dot += A[:, j] * B[:, j]
-            na += A[:, j] * A[:, j]
-            nb += B[:, j] * B[:, j]
-        den = (np.maximum(np.sqrt(na), 1e-12)
-               * np.maximum(np.sqrt(nb), 1e-12))
-        return pd.Series(dot / den)
-
+    _seq_cos = seq_cos_udf()
     dropped = (cand.withColumn("_cos", _seq_cos("_ae", "_be"))
                .where(F.round(F.col("_cos"), 4) >= F.lit(thr))
                .select(F.col("id_b").alias("_id")).distinct()

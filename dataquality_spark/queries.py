@@ -1215,24 +1215,53 @@ def q_langid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-banded LSH candidate pairs (the at-scale near-dup path)."""
+    """MinHash-banded LSH near-dup pairs (the at-scale near-dup path),
+    under the portable signature spec — EXACT oracle as of round 4: the
+    same shared CTE prefix the fuzzy-dedup oracle replays (shingles →
+    poly hashes → 64 permutations → 32×2 banding → hot-bucket cap →
+    candidates), finished with the exact-Jaccard verify instead of the
+    component fixpoint. The jaccard value is ONE division of identical
+    integers on both engines — bit-identical."""
     from dataquality_spark.operators.dedup import near_dup_pairs
     docs = _t(spark, sf_dir, "documents")
     pins: list[DataFrame] = []
     out = near_dup_pairs(docs, id_col="doc_id", jaccard_threshold=0.5,
-                         cleanup=pins)
+                         signature_spec="portable", cleanup=pins)
     return _register_pins(out, pins)
+
+
+def _sql_minhash_neardup() -> str:
+    """Finish the shared MinHash candidate prefix with the Jaccard
+    verify: WHERE mirrors the engine's float compare (f >= 0.5, itself
+    equivalent to the integer 2·|∩| ≥ |∪| — |∪| < 2^53 keeps the
+    half-ulp knife edge unreachable), value is round(·, 6) like the
+    engine's F.round."""
+    return rf"""
+WITH {_sql_minhash_cte_prefix()},
+sims AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.s, sb.s))::DOUBLE
+         / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE
+         AS f
+  FROM cand c JOIN hs sa ON sa.doc_id = c.id_a
+              JOIN hs sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(f, 6) AS jaccard FROM sims WHERE f >= 0.5
+"""
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs embedding near-dups via banded hyperplane LSH + exact
-    cosine verify (rows-only: the LSH candidate set is not SQL-expressible;
-    precision is exact by the verify stage, recall pytest-gated).
+    cosine verify, under the PORTABLE plane spec (quantized Rademacher
+    signatures, semdedup's LCG constants) — EXACT oracle as of round 4:
+    DuckDB recomputes the band keys from pure integer arithmetic, replays
+    the hot-bucket cap and the candidate self-join, and decides each pair
+    with the same sequential fold / round(·,4) bridge the engine uses.
 
     The driver's embeddings are near-orthogonal (max pairwise cos ≈ 0.51),
     so the corpus is augmented with a scaled shadow copy of itself: each
-    (id, id+1M) pair has cosine exactly 1 and identical sign bits in every
-    band — deterministic LSH recall 1.0, one output row per input vector."""
+    (id, id+1M) pair has cosine exactly 1 — LSH recall pytest-gated, and
+    whatever the banding yields, BOTH engines yield it identically."""
     from dataquality_spark.operators.similarity import embedding_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     shadow = emb.select(
@@ -1240,8 +1269,86 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
     pins: list[DataFrame] = []
     out = embedding_near_dup_pairs(
-        spark, emb.unionByName(shadow), threshold=0.999, cleanup=pins)
+        spark, emb.unionByName(shadow), threshold=0.999, dim=64,
+        plane_spec="portable", cleanup=pins)
     return _register_pins(out, pins)
+
+
+def _sql_embedding_neardup(bands: int = 8, band_bits: int = 6,
+                           dim: int = 64, threshold: float = 0.999,
+                           max_bucket: int = 200) -> str:
+    """DuckDB mirror of the portable banded-LSH near-dup composition —
+    constants imported from the operator module (`_sql_semdedup` pattern):
+    same 2-round LCG+xorshift ±1 planes (``mixed_planes``), same
+    fixed-point integer dots, same band-key packing
+    ((band << band_bits) | sign bits in block order), same hot-bucket
+    cap, same sequential-fold verify."""
+    from dataquality_spark.operators.similarity import (
+        SEMDEDUP_LCG_A, SEMDEDUP_LCG_C, SEMDEDUP_LCG_M, SEMDEDUP_QUANT,
+        SEMDEDUP_SIGN_BIT)
+    A, C, M = SEMDEDUP_LCG_A, SEMDEDUP_LCG_C, SEMDEDUP_LCG_M
+    n_planes = bands * band_bits
+    return f"""
+WITH aug AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, x -> x::DOUBLE * 2.0)
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(x * {SEMDEDUP_QUANT} + 0.5) AS BIGINT)) AS q
+  FROM aug WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+),
+pidx AS (
+  SELECT pp.p AS p, jj.j AS j,
+         ({A}::BIGINT * (pp.p * {dim} + jj.j) + {C}) % {M} AS s
+  FROM range(0, {n_planes}) pp(p), range(0, {dim}) jj(j)
+),
+pmix AS (SELECT p, j, ({A}::BIGINT * xor(s, s >> 13) + {C}) % {M} AS s
+         FROM pidx),
+planes AS (
+  SELECT p, j, CASE WHEN (xor(s, s >> 7) >> {SEMDEDUP_SIGN_BIT}) % 2 = 1
+               THEN 1 ELSE -1 END AS sgn
+  FROM pmix
+),
+dots AS (
+  SELECT vec_id, pl.p AS p, SUM(pl.sgn * q[pl.j + 1]) AS dot
+  FROM qv, planes pl
+  GROUP BY vec_id, pl.p
+),
+bkeys AS (
+  SELECT vec_id,
+         CAST(((p // {band_bits}) << {band_bits})
+              + SUM(CASE WHEN dot >= 0
+                    THEN 1 << (({band_bits} - 1 - (p % {band_bits}))::int)
+                    ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id, (p // {band_bits})
+),
+hot AS (SELECT bucket FROM bkeys GROUP BY bucket
+        HAVING count(*) > {max_bucket}),
+bk2 AS (SELECT vec_id, bucket FROM bkeys
+        WHERE bucket NOT IN (SELECT bucket FROM hot)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk2 a JOIN bk2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT c.id_a, c.id_b,
+         list_aggregate(list_transform(range(1, {dim} + 1),
+             i -> a.embedding[i] * b.embedding[i]), 'sum')
+         / (greatest(sqrt(list_aggregate(list_transform(range(1, {dim} + 1),
+                i -> a.embedding[i] * a.embedding[i]), 'sum')), 1e-12)
+            * greatest(sqrt(list_aggregate(list_transform(range(1, {dim} + 1),
+                i -> b.embedding[i] * b.embedding[i]), 'sum')), 1e-12)) AS f
+  FROM cand c JOIN qv a ON a.vec_id = c.id_a JOIN qv b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(f, 6) AS cos_sim
+FROM sims WHERE round(f, 4) >= {threshold}
+"""
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2456,12 +2563,13 @@ def q_fuzzy_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component", "is_winner")
 
 
-def _sql_fuzzy_dedup() -> str:
-    """DuckDB mirror of the full fuzzy-dedup composition under the
-    portable signature spec. Generated, not hand-kept: the permutation
-    constants, banding factorization and fold constants are read from the
-    SAME source (`operators/dedup.py`) the Spark UDF uses, so the two
-    sides cannot drift."""
+def _sql_minhash_cte_prefix() -> str:
+    """Shared DuckDB CTE chain for the portable MinHash-LSH candidate
+    set (norm → shingles → poly hashes → 64-perm signatures → 32×2 band
+    keys → hot-bucket cap → candidate pairs) — generated from the SAME
+    constants (`operators/dedup.py`) the Spark UDF uses, so the oracles
+    of every composition over it (`fuzzy_dedup_decisions`,
+    `minhash_lsh_neardup`) cannot drift from the engine or each other."""
     from dataquality_spark.operators.dedup import (_MERSENNE, _perm_params,
                                                    choose_banding)
     bands, rows = choose_banding(0.5)
@@ -2470,8 +2578,7 @@ def _sql_fuzzy_dedup() -> str:
     a_lit = "[" + ", ".join(str(a) for a, _ in params) + "]"
     b_lit = "[" + ", ".join(str(b) for _, b in params) + "]"
     P, K = _MERSENNE, 1_000_003
-    return rf"""
-WITH RECURSIVE norm AS (
+    return rf"""norm AS (
   SELECT doc_id, text,
          lower(trim(regexp_replace(regexp_replace(coalesce(text, ''),
              '[^A-Za-z0-9 \t\n\r\f\v]+', '', 'g'),
@@ -2514,7 +2621,16 @@ bk2 AS (SELECT doc_id, bucket FROM bk
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bk2 a JOIN bk2 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _sql_fuzzy_dedup() -> str:
+    """DuckDB mirror of the full fuzzy-dedup composition: the shared
+    portable-MinHash candidate prefix, then the integer-exact Jaccard
+    verify, the component fixpoint (recursive CTE) and the winner
+    window."""
+    return rf"""
+WITH RECURSIVE {_sql_minhash_cte_prefix()},
 e0 AS (
   SELECT c.id_a AS u, c.id_b AS v
   FROM cand c
@@ -3877,6 +3993,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_line_flags": q_gopher_line_flags,
     "simhash_buckets": q_simhash_buckets,
     "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup": q_embedding_neardup,
+    "minhash_lsh_neardup": q_minhash_lsh_neardup,
     # --- sole/primary §2 witnesses kept under every-round verification ---
     "null_metrics": q_null_metrics,
     "iqr_group_score": q_iqr_group_score,
@@ -3887,7 +4005,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_pairs_filter": q_corr_pairs_filter,
     "date_format_check": q_date_format_check,
     "c1_neardup_rescue": q_c1_neardup_rescue,
-    "asof_join": q_asof_join,
     "range_join": q_range_join,
     "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
@@ -3898,13 +4015,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_sample": q_token_budget_sample,
     "decontaminate": q_decontaminate,
     "incremental_dedup": q_incremental_dedup,
-    "quality_buckets": q_quality_buckets,
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
+    "quality_buckets": q_quality_buckets,
     "canonical_url": q_canonical_url,
     "multimodal_decode": q_multimodal_decode,
     "hypertable_rollup": q_hypertable_rollup,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "heuristic_gate": q_heuristic_gate,
     "membership_semijoin": q_membership_semijoin,
     "prefix_dup_rate": q_prefix_dup_rate,
@@ -3933,14 +4051,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "pages_pipeline": q_pages_pipeline,
     "langid_scores": q_langid_scores,
-    "minhash_lsh_neardup": q_minhash_lsh_neardup,
-    "embedding_neardup": q_embedding_neardup,
     "bpe_tokenize": q_bpe_tokenize,
     "bpe_pack": q_bpe_pack,
 }
 
 ORACLE_SQL: dict[str, str] = {
     "fuzzy_dedup_decisions": _sql_fuzzy_dedup(),
+    "minhash_lsh_neardup": _sql_minhash_neardup(),
     "quality_classifier": _sql_quality_classifier(),
     "textrank_keywords": _sql_textrank(),
     "kmeans_clusters": _sql_kmeans(),
@@ -4017,4 +4134,5 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_line_flags": _SQL_GOPHER_LINE_FLAGS,
     "simhash_buckets": _SQL_SIMHASH_BUCKETS,
     "simhash_neardup": _SQL_SIMHASH_NEARDUP,
+    "embedding_neardup": _sql_embedding_neardup(),
 }

@@ -276,7 +276,10 @@ EMB_QUERIES = ["embedding_knn", "cosine_allpairs", "ivf_knn",
                "embedding_outliers", "semdedup",
                # fixed-point Lloyd's iterations: the clustered fixture's
                # near-tie distances probe the integer-exact argmin
-               "kmeans_clusters"]
+               "kmeans_clusters",
+               # portable banded LSH (exact as of round 4): the clustered
+               # near-ties probe band-key parity AND the round(·,4) verify
+               "embedding_neardup"]
 
 
 def _random_embeddings(n=200, dim=64, seed=77):
@@ -366,6 +369,23 @@ def test_differential_semdedup_corrupt_embeddings(spark, tmp_path):
     assert kept[dup_a] and not kept[dup_b]         # first-seen wins
     # their shadows both duplicate the kept original → dropped
     assert not kept[dup_a + 1_000_000] and not kept[dup_b + 1_000_000]
+
+
+def test_differential_embedding_neardup_corrupt_embeddings(spark, tmp_path):
+    """embedding_neardup under the corrupt corpus: wrong-dim/NULL/
+    NULL-element rows are excluded by BOTH engines before the quantized
+    band keys; all-zero vectors bucket identically and their clamped
+    sim 0 never NaNs; the exact-dup pair (and its shadow copies) sits
+    right at the cos=1 surface."""
+    rows = _corrupt_embeddings()
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{tmp_path}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')")
+    _assert_differential(spark, con, str(tmp_path), "embedding_neardup")
 
 
 def test_differential_kmeans_corrupt_embeddings(spark, tmp_path):

@@ -134,6 +134,42 @@ def test_embedding_near_dup_pairs_recall_and_precision(spark):
     assert not background, background
 
 
+def test_embedding_near_dup_portable_spec(spark):
+    """The exact-oracle configuration (quantized Rademacher planes +
+    sequential-fold verify) keeps the recall/precision properties of the
+    gauss path on the same planted fixture."""
+    from dataquality_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    rows, planted = [], set()
+    vid = 0
+    for c in range(25):
+        base = rng.randn(64)
+        base /= np.linalg.norm(base)
+        noisy = base + 0.05 * rng.randn(64)
+        rows.append((vid, base.astype(np.float32).tolist()))
+        rows.append((vid + 1, noisy.astype(np.float32).tolist()))
+        planted.add((vid, vid + 1))
+        vid += 2
+    for _ in range(100):
+        v = rng.randn(64)
+        rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+        vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    got = embedding_near_dup_pairs(
+        spark, df, threshold=0.9, plane_spec="portable").toPandas()
+    got_pairs = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
+    assert (np.round(got["cos_sim"], 4) >= 0.9).all()
+    found = len(planted & got_pairs)
+    assert found / len(planted) >= 0.9, f"recall {found}/{len(planted)}"
+    assert not (got_pairs - planted)
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(spark, df, plane_spec="sobol")
+
+
 def test_embedding_near_dup_hot_bucket_cap(spark):
     """A mega-group of identical vectors is capped out of the LSH join."""
     from dataquality_spark.operators.similarity import embedding_near_dup_pairs
