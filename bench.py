@@ -91,7 +91,9 @@ HEADLINE_QUERIES = [
     "mixture_rebalance", "sb_lm_score", "bm25_topk", "rolling_anomaly",
     "embedding_outliers", "bpe_pack", "region_revenue", "source_overlap",
     "semdedup", "domain_blocklist", "dsir_select", "token_drift",
-    "textrank_keywords", "kmeans_clusters",
+    "textrank_keywords", "kmeans_clusters", "c4_line_filter",
+    "gopher_line_flags", "embedding_neardup", "pii_stats",
+    "rule_ablation", "readability", "minhash_error",
 ]
 
 

@@ -179,8 +179,12 @@ def poly_hash_flat(flat: list[bytes]) -> np.ndarray:
 
 def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
                       rows: int = LSH_ROWS,
-                      signature_spec: str = "crc32"):
+                      signature_spec: str = "crc32",
+                      emit_sig: bool = False):
     """pandas UDF: text → struct(sh array<string>, bands array<bigint>).
+    With ``emit_sig`` the struct gains ``sig: array<long>`` (the raw
+    64-permutation MinHash signature) for estimator diagnostics — the
+    default schema stays unchanged so existing plans are untouched.
 
     Shingling AND minhash both live here. Why not JVM expressions: Spark
     HOFs evaluate interpreted (no codegen) and projection collapse re-inlines
@@ -204,9 +208,13 @@ def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
 
     _poly_hash_flat = poly_hash_flat
 
-    @F.pandas_udf("struct<sh: array<string>, bands: array<long>>")
+    schema = "struct<sh: array<string>, bands: array<long>>"
+    if emit_sig:
+        schema = "struct<sh: array<string>, bands: array<long>, sig: array<long>>"
+
+    @F.pandas_udf(schema)
     def sig_bands(text_s: pd.Series) -> pd.DataFrame:
-        shs, keys_out = [], []
+        shs, keys_out, sigs_out = [], [], []
         if portable:
             all_sh = [shingles_portable(t, shingle_n) for t in text_s]
             flat = [s.encode("ascii") for sh in all_sh
@@ -220,6 +228,7 @@ def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
             if not sh:
                 shs.append(None)
                 keys_out.append(None)
+                sigs_out.append(None)
                 continue
             if portable:
                 h = hv_all[off:off + len(sh)][None, :]
@@ -234,8 +243,12 @@ def shingle_bands_udf(shingle_n: int = 3, bands: int = LSH_BANDS,
                 keys = (keys * K + bsig[:, r]) % P
             shs.append(sh)
             keys_out.append(keys.tolist())
-        return pd.DataFrame({"sh": pd.Series(shs, dtype=object),
-                             "bands": pd.Series(keys_out, dtype=object)})
+            sigs_out.append(sig.tolist())
+        cols = {"sh": pd.Series(shs, dtype=object),
+                "bands": pd.Series(keys_out, dtype=object)}
+        if emit_sig:
+            cols["sig"] = pd.Series(sigs_out, dtype=object)
+        return pd.DataFrame(cols)
 
     return sig_bands.asNondeterministic()
 
@@ -284,6 +297,89 @@ def with_dedup_flag(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "url")
         flag_col,
         (F.col(f"win.{ts}") == F.col(ts)) & (F.col(f"win.{uid}") == F.col(uid)),
     ).drop("win")
+
+
+def _lsh_candidate_pairs(base: DataFrame, max_bucket_size: int | None,
+                         skew_metrics: dict | None = None) -> DataFrame:
+    """Banded-LSH candidate generation over a signature frame with columns
+    (_id, _bands): explode band keys → hot-bucket drop (broadcast
+    anti-join) → bucket self-join → distinct (id_a < id_b) pairs. Shared
+    by ``near_dup_pairs`` and ``minhash_pair_diagnostics`` so the two can
+    never disagree on which pairs LSH surfaces."""
+    buckets = base.select("_id", F.explode("_bands").alias("_bucket"))
+    if max_bucket_size is not None:
+        hot = (buckets.groupBy("_bucket")
+               .agg(F.count(F.lit(1)).alias("_bn"))
+               .where(F.col("_bn") > max_bucket_size)
+               .select("_bucket"))
+        if skew_metrics is not None:
+            skew_metrics["hot_buckets"] = hot.count()
+        buckets = buckets.join(F.broadcast(hot), "_bucket", "left_anti")
+    a = buckets.select(F.col("_id").alias("id_a"), "_bucket")
+    b = buckets.select(F.col("_id").alias("id_b"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_pair_diagnostics(df: DataFrame, id_col: str = "url",
+                             text_col: str = "text", shingle_n: int = 3,
+                             banding: tuple[int, int] = (32, 2),
+                             max_bucket_size: int | None = 200,
+                             signature_spec: str = "portable",
+                             cleanup: list[DataFrame] | None = None
+                             ) -> DataFrame:
+    """Estimator-quality diagnostics for the banded MinHash-LSH path: for
+    every LSH candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching permutation slots / 64) next to the EXACT shingle Jaccard
+    and their absolute error. This is the dedup-tuning table — it answers
+    "is 64 permutations enough at this threshold" and "what does the
+    hot-bucket cap cost in recall" with data instead of folklore.
+
+    Same plan shape as ``near_dup_pairs`` (shared candidate generation,
+    signature frame persisted once and re-attached to both pair sides);
+    the extra sig column rides the verify join, never the bucket-join
+    shuffle. Returns (id_a, id_b, est_jaccard, exact_jaccard, abs_err).
+    """
+    from pyspark import StorageLevel
+
+    udf = shingle_bands_udf(shingle_n, bands=banding[0], rows=banding[1],
+                            signature_spec=signature_spec, emit_sig=True)
+    base = df.select(
+        F.col(id_col).alias("_id"), udf(F.col(text_col)).alias("_sb")
+    ).select(
+        "_id", F.col("_sb.sh").alias("_sh"), F.col("_sb.bands").alias("_bands"),
+        F.col("_sb.sig").alias("_sig")
+    ).where(F.col("_sh").isNotNull() & (F.size("_sh") > 0)) \
+     .persist(StorageLevel.MEMORY_AND_DISK)
+    if cleanup is not None:
+        cleanup.append(base)
+    cand = _lsh_candidate_pairs(base, max_bucket_size)
+    pairs = (
+        cand.join(base.select(F.col("_id").alias("id_a"),
+                              F.col("_sh").alias("sh_a"),
+                              F.col("_sig").alias("sig_a")), "id_a")
+        .join(base.select(F.col("_id").alias("id_b"),
+                          F.col("_sh").alias("sh_b"),
+                          F.col("_sig").alias("sig_b")), "id_b")
+    )
+    n_perms = banding[0] * banding[1]
+    matches = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = pairs.select(
+        "id_a", "id_b",
+        F.round(matches / F.lit(float(n_perms)), 6).alias("est_jaccard"),
+        F.round(inter / union, 6).alias("exact_jaccard"))
+    # abs_err from the ROUNDED columns so engine and oracle subtract the
+    # same doubles (the round(·,6)/knife-edge discipline used throughout)
+    return out.withColumn(
+        "abs_err",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6))
 
 
 def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
@@ -337,23 +433,7 @@ def near_dup_pairs(df: DataFrame, id_col: str = "url", text_col: str = "text",
         cleanup.append(base)
     # candidate generation joins on (bucket, id) ONLY — the shingle arrays
     # never enter the bucket-join shuffle; they re-attach for the verify step
-    buckets = base.select("_id", F.explode("_bands").alias("_bucket"))
-    if max_bucket_size is not None:
-        hot = (buckets.groupBy("_bucket")
-               .agg(F.count(F.lit(1)).alias("_bn"))
-               .where(F.col("_bn") > max_bucket_size)
-               .select("_bucket"))
-        if skew_metrics is not None:
-            skew_metrics["hot_buckets"] = hot.count()
-        buckets = buckets.join(F.broadcast(hot), "_bucket", "left_anti")
-    a = buckets.select(F.col("_id").alias("id_a"), "_bucket")
-    b = buckets.select(F.col("_id").alias("id_b"), "_bucket")
-    cand = (
-        a.join(b, "_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _lsh_candidate_pairs(base, max_bucket_size, skew_metrics)
     pairs = (
         cand.join(base.select(F.col("_id").alias("id_a"),
                               F.col("_sh").alias("sh_a")), "id_a")

@@ -3951,6 +3951,262 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# Q82 — PII/toxicity prevalence stats: the measurement side of the scrub
+# stage (what fraction of the corpus carries each PII class, per document).
+# The corpus is a clean synthetic word stream, so deterministic PII strings
+# are PLANTED from doc_id arithmetic — both engines construct byte-identical
+# text, run the SAME ordered scrub chain the byte-exact scrub oracle already
+# proves portable, then count replacement tokens in the scrubbed output
+# (count = Δlength / token length — sequential-chain-faithful, no second
+# regex pass). At 100 TB this is one narrow projection over the scrub UDF's
+# output: no shuffle at all for the per-doc table.
+
+_PII_TOKENS = [("<EMAIL>", "n_email"), ("<PHONE>", "n_phone"),
+               ("<IP>", "n_ip"), ("<ID>", "n_id"),
+               ("<IBAN>", "n_iban"), ("<TOX>", "n_tox")]
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.scrub import with_scrubbed_text
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = docs.select(
+        "doc_id", "lang",
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 3 == 0, F.concat(
+                F.lit("user"), d.cast("string"), F.lit("@example.com"))
+            ).otherwise(F.lit("contact desk")),
+            F.when(d % 5 == 0, F.concat(
+                F.lit("+1-555-0"),
+                F.lpad((d % 900 + 100).cast("string"), 3, "0"), F.lit("-"),
+                F.lpad((d % 90 + 10).cast("string"), 2, "0"))
+            ).otherwise(F.lit("no phone")),
+            F.when(d % 7 == 0, F.concat(
+                F.lit("10.0."), (d % 256).cast("string"), F.lit("."),
+                (d % 97).cast("string"))
+            ).otherwise(F.lit("no host")),
+            F.when(d % 11 == 0, F.concat(
+                F.lpad((d % 1000).cast("string"), 3, "0"), F.lit("-"),
+                F.lpad((d % 89 + 10).cast("string"), 2, "0"), F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"))
+            ).otherwise(F.lit("no id")),
+            F.when(d % 13 == 0, F.concat(
+                F.lit("DE"), F.lpad((d % 100).cast("string"), 2, "0"),
+                F.lit("500105170648489890"))
+            ).otherwise(F.lit("no iban")),
+            F.when(d % 17 == 0, F.lit("frakking rig")
+                   ).otherwise(F.lit("calm rig")),
+        ).alias("text"))
+    s = with_scrubbed_text(planted)
+    counts = [
+        ((F.length("scrubbed_text")
+          - F.length(F.replace(F.col("scrubbed_text"), F.lit(tok),
+                               F.lit("")))) / len(tok)).cast("long").alias(c)
+        for tok, c in _PII_TOKENS]
+    out = s.select("doc_id", "lang", *counts)
+    total = sum((F.col(c) for _, c in _PII_TOKENS), F.lit(0).cast("long"))
+    return out.withColumn("pii_total", total.cast("long"))
+
+
+def _sql_pii_plant() -> str:
+    return """concat_ws(' ',
+      coalesce(text, ''),
+      CASE WHEN doc_id % 3 = 0
+           THEN 'user' || doc_id::varchar || '@example.com'
+           ELSE 'contact desk' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN '+1-555-0' || lpad((doc_id % 900 + 100)::varchar, 3, '0')
+                || '-' || lpad((doc_id % 90 + 10)::varchar, 2, '0')
+           ELSE 'no phone' END,
+      CASE WHEN doc_id % 7 = 0
+           THEN '10.0.' || (doc_id % 256)::varchar || '.'
+                || (doc_id % 97)::varchar
+           ELSE 'no host' END,
+      CASE WHEN doc_id % 11 = 0
+           THEN lpad((doc_id % 1000)::varchar, 3, '0') || '-'
+                || lpad((doc_id % 89 + 10)::varchar, 2, '0') || '-'
+                || lpad((doc_id % 10000)::varchar, 4, '0')
+           ELSE 'no id' END,
+      CASE WHEN doc_id % 13 = 0
+           THEN 'DE' || lpad((doc_id % 100)::varchar, 2, '0')
+                || '500105170648489890'
+           ELSE 'no iban' END,
+      CASE WHEN doc_id % 17 = 0 THEN 'frakking rig' ELSE 'calm rig' END)"""
+
+
+def _sql_pii_stats() -> str:
+    cnt = ",\n         ".join(
+        f"CAST((len(st) - len(replace(st, '{tok}', ''))) / {len(tok)} "
+        f"AS BIGINT) AS {c}" for tok, c in _PII_TOKENS)
+    names = ", ".join(c for _, c in _PII_TOKENS)
+    total = " + ".join(c for _, c in _PII_TOKENS)
+    return f"""
+WITH planted AS (
+  SELECT doc_id, lang, {_sql_pii_plant()} AS text FROM documents
+),
+s AS (
+  SELECT doc_id, lang, {_sql_scrub_chain()} AS st FROM planted
+),
+c AS (
+  SELECT doc_id, lang,
+         {cnt}
+  FROM s
+)
+SELECT doc_id, lang, {names}, CAST({total} AS BIGINT) AS pii_total
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q83 — quality-rule ablation: per-rule filter attribution over the Gopher
+# gate — how many documents each rule fails, and how many it UNIQUELY
+# removes (docs that pass every other rule). This is the table a pipeline
+# owner reads before loosening a threshold: n_unique_fail is exactly the
+# number of documents a rule's removal would rescue. One aggregation pass
+# (12 conditional sums over the gate projection — map-side partial agg,
+# one scalar row shuffled), then a driver-free explode to 5 rows.
+
+_ABLATION_RULES = ["r_max_words", "r_mean_wlen", "r_min_words",
+                   "r_stopword", "r_symbol"]
+
+
+def q_rule_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = q_heuristic_gate(spark, sf_dir)
+    # NULL flags (empty doc → NULL stop_frac) count as FAIL on both
+    # engines: coalesce(flag, false) is the shared convention
+    p = {r: F.coalesce(F.col(r), F.lit(False)) for r in _ABLATION_RULES}
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for r in _ABLATION_RULES:
+        others = F.lit(True)
+        for o in _ABLATION_RULES:
+            if o != r:
+                others = others & p[o]
+        aggs.append(F.sum((~p[r]).cast("long")).alias(f"nf_{r}"))
+        aggs.append(F.sum(((~p[r]) & others).cast("long")).alias(f"nu_{r}"))
+    a = g.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(r).alias("rule"),
+                 F.col(f"nf_{r}").alias("n_fail"),
+                 F.col(f"nu_{r}").alias("n_unique_fail"),
+                 F.round(F.col(f"nf_{r}") / F.col("n_docs"), 6)
+                 .alias("fail_frac"))
+        for r in _ABLATION_RULES])
+    return (a.select(F.explode(rows).alias("s")).select("s.*")
+            .orderBy("rule"))
+
+
+def _sql_rule_ablation() -> str:
+    passed = {r: f"coalesce({r}, false)" for r in _ABLATION_RULES}
+    branches = []
+    for r in _ABLATION_RULES:
+        others = " AND ".join(passed[o] for o in _ABLATION_RULES if o != r)
+        branches.append(f"""
+  SELECT '{r}' AS rule,
+         count(*) FILTER (WHERE NOT {passed[r]}) AS n_fail,
+         count(*) FILTER (WHERE NOT {passed[r]} AND {others})
+             AS n_unique_fail,
+         round(count(*) FILTER (WHERE NOT {passed[r]})::double
+               / count(*), 6) AS fail_frac
+  FROM g""")
+    return (f"WITH g AS ({_SQL_HEURISTIC_GATE})\n"
+            + "\n  UNION ALL".join(branches) + "\nORDER BY rule")
+
+
+# ---------------------------------------------------------------------------
+# Q84 — Flesch readability scores: the classic reading-ease heuristic as a
+# quality signal (C4/FineWeb-class pipelines bucket on it). Deterministic
+# spec: words = whitespace split (TX.words_col parity), sentences =
+# max(count of [.!?]+ runs, 1), syllables = vowel-group runs over the
+# FULL-lowered text (a vowel group never spans whitespace, so the one
+# text-level regex pass equals the per-word sum — pure codegen, no HOF).
+# flesch = 206.835 - 1.015·(words/sentences) - 84.6·(syllables/words); all
+# three inputs are integers, so the doubles are bit-identical cross-engine.
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("text", F.coalesce("text", F.lit("")))
+    words = TX.words_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        TX.word_count(words).cast("long").alias("n_words"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")),
+                   F.lit(1)).cast("long").alias("n_sents"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("long").alias("n_syllables"))
+    return d.select(
+        "doc_id", "n_words", "n_sents", "n_syllables",
+        F.when(F.col("n_words") > 0, F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("n_words") / F.col("n_sents"))
+            - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")), 6)
+        ).alias("flesch"))
+
+
+_SQL_READABILITY = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sents,
+         CAST(len(regexp_extract_all({_sql_full_lower('text')},
+              '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)
+)
+SELECT doc_id, n_words, n_sents, n_syllables,
+       CASE WHEN n_words > 0
+            THEN round(206.835 - 1.015 * (n_words / n_sents)
+                       - 84.6 * (n_syllables / n_words), 6)
+       END AS flesch
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q85 — MinHash estimator error: for every banded-LSH candidate pair, the
+# 64-permutation signature-agreement Jaccard ESTIMATE next to the exact
+# shingle Jaccard and the absolute error — the dedup-tuning diagnostic
+# ("is 64 perms enough at this threshold"). Rides the SAME portable
+# signature spec + candidate prefix as fuzzy_dedup_decisions, so the
+# DuckDB oracle recomputes signatures bit-for-bit and the estimate is an
+# integer count / 64.0 on both engines.
+
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.operators.dedup import minhash_pair_diagnostics
+    docs = _t(spark, sf_dir, "documents")
+    pins: list[DataFrame] = []
+    out = minhash_pair_diagnostics(
+        docs, id_col="doc_id", text_col="text", shingle_n=3,
+        banding=(32, 2), max_bucket_size=200, signature_spec="portable",
+        cleanup=pins)
+    return _register_pins(out, pins)
+
+
+def _sql_minhash_error() -> str:
+    return rf"""
+WITH {_sql_minhash_cte_prefix()},
+pe AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_filter(range(0, 64),
+                   i -> sa.sig[i + 1] = sb.sig[i + 1])) / 64.0, 6)
+             AS est_jaccard,
+         round(len(list_intersect(ha.s, hb.s))
+               / (len(ha.s) + len(hb.s)
+                  - len(list_intersect(ha.s, hb.s))), 6) AS exact_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  JOIN hs ha ON ha.doc_id = c.id_a
+  JOIN hs hb ON hb.doc_id = c.id_b
+)
+SELECT id_a, id_b, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM pe
+"""
+
+
 # Registry ORDER is evidence policy, not aesthetics: the driver's
 # CORRECTNESS gate verifies the FIRST 50 entries each round. The window
 # below holds (a) every exact-oracle entry that had never received a
@@ -4016,6 +4272,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "incremental_dedup": q_incremental_dedup,
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
+    # --- new in round 4 AFTER the window froze: exact oracles, verified
+    # by the local sweep this round; rotate INTO the window in round 5 ---
+    "pii_stats": q_pii_stats,
+    "rule_ablation": q_rule_ablation,
+    "readability": q_readability,
+    "minhash_error": q_minhash_error,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "quality_buckets": q_quality_buckets,
     "canonical_url": q_canonical_url,
@@ -4135,4 +4397,8 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_buckets": _SQL_SIMHASH_BUCKETS,
     "simhash_neardup": _SQL_SIMHASH_NEARDUP,
     "embedding_neardup": _sql_embedding_neardup(),
+    "pii_stats": _sql_pii_stats(),
+    "rule_ablation": _sql_rule_ablation(),
+    "readability": _SQL_READABILITY,
+    "minhash_error": _sql_minhash_error(),
 }

@@ -121,6 +121,14 @@ QUERIES_UNDER_TEST = [
     # portable-spec SimHash (exact as of round 4): signature parity under
     # NULL/empty/unicode-stripped text, plus the brute-force pair oracle
     "simhash_buckets", "simhash_neardup",
+    # round-4 late additions: pii_stats plants PII from doc_id and counts
+    # scrub tokens (NULL text → coalesce; the scrub chain itself is the
+    # fuzzed surface), rule_ablation aggregates the fuzzed gate flags
+    # (NULL-flag coalesce convention), readability's three regex counts
+    # run over non-BMP/NBSP/İ text (syllables mirror via the lower shim),
+    # and minhash_error re-exercises the portable signature spec with the
+    # signature AGREEMENT count on top
+    "pii_stats", "rule_ablation", "readability", "minhash_error",
 ]
 
 
