@@ -94,6 +94,7 @@ HEADLINE_QUERIES = [
     "textrank_keywords", "kmeans_clusters", "c4_line_filter",
     "gopher_line_flags", "embedding_neardup", "pii_stats",
     "rule_ablation", "readability", "minhash_error",
+    "dedup_cluster_stats", "langid_confusion",
 ]
 
 

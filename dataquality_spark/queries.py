@@ -4207,6 +4207,109 @@ FROM pe
 """
 
 
+# ---------------------------------------------------------------------------
+# Q86 — dedup cluster-size histogram: the duplication REPORT over the
+# composed fuzzy-dedup output (cluster-size distribution, docs per size,
+# docs a dedup pass would drop) — the table FineWeb/C4-class pipeline
+# reports publish per snapshot. Two tiny aggregations on top of the LSH →
+# components → winners composition; the histogram is vocabulary-bounded
+# (≤ distinct cluster sizes), so nothing here grows with the corpus
+# beyond the dedup pass itself.
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = q_fuzzy_dedup_decisions(spark, sf_dir)
+    sizes = dec.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .select("cluster_size", "n_clusters",
+                    (F.col("cluster_size") * F.col("n_clusters"))
+                    .alias("n_docs"),
+                    ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+                    .alias("n_dropped"))
+            .orderBy("cluster_size"))
+
+
+def _sql_dedup_cluster_stats() -> str:
+    return f"""
+SELECT cluster_size, n_clusters,
+       cluster_size * n_clusters AS n_docs,
+       (cluster_size - 1) * n_clusters AS n_dropped
+FROM (
+  SELECT cluster_size, count(*) AS n_clusters
+  FROM (
+    SELECT component, count(*) AS cluster_size
+    FROM ({_sql_fuzzy_dedup()}) GROUP BY component
+  ) GROUP BY cluster_size
+)
+ORDER BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q87 — language-ID confusion matrix: the EVALUATION harness for the
+# langid stage — a fully relational stopword-argmax guess (hits against
+# the four document-language stoplists; ties → lexicographically larger
+# code; zero hits → 'und') cross-tabulated against the labeled lang
+# column. The learned langid UDF is the production scorer (rows-only
+# `langid_scores`); this gives the accuracy table an exact cross-engine
+# oracle. One groupBy on (label, guess) — the matrix is ≤ 5×5.
+
+_CONFUSION_LANGS = ["de", "en", "es", "fr"]
+
+
+def _stopword_hits(words: F.Column, stoplist: list[str]) -> F.Column:
+    # closure, not a default-arg lambda param: a 2-arg HOF lambda would
+    # receive the element INDEX column as its second argument
+    arr = F.array(*[F.lit(s) for s in stoplist])
+    return F.size(F.filter(
+        words, lambda w: F.array_contains(arr, F.lower(w))))
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.words_col(F.coalesce(F.col("text"), F.lit("")))
+    hits = {lg: _stopword_hits(words, spec.STOPWORDS[lg])
+            for lg in _CONFUSION_LANGS}
+    best = F.array_max(F.array(*[
+        F.struct(hits[lg].alias("h"), F.lit(lg).alias("l"))
+        for lg in _CONFUSION_LANGS]))
+    guess = F.when(best["h"] > 0, best["l"]).otherwise(F.lit("und"))
+    return (docs.select(F.col("lang"), guess.alias("guess"))
+            .groupBy("lang", "guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang", "guess"))
+
+
+def _sql_langid_confusion() -> str:
+    branches = "\n  UNION ALL".join(f"""
+  SELECT doc_id, lang, '{lg}' AS cand_lang,
+         len(list_filter({_SQL_WORDS},
+             x -> list_contains({_sql_stoplist(lg)},
+                                {_sql_full_lower('x')}))) AS hits
+  FROM d""" for lg in _CONFUSION_LANGS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, coalesce(text, '') AS text FROM documents
+),
+h AS ({branches}
+),
+r AS (
+  SELECT doc_id, lang, cand_lang, hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand_lang DESC) AS rn,
+         max(hits) OVER (PARTITION BY doc_id) AS mx
+  FROM h
+)
+SELECT lang,
+       CASE WHEN mx > 0 THEN cand_lang ELSE 'und' END AS guess,
+       count(*) AS n_docs
+FROM r WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY lang, guess
+"""
+
+
 # Registry ORDER is evidence policy, not aesthetics: the driver's
 # CORRECTNESS gate verifies the FIRST 50 entries each round. The window
 # below holds (a) every exact-oracle entry that had never received a
@@ -4278,6 +4381,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_ablation": q_rule_ablation,
     "readability": q_readability,
     "minhash_error": q_minhash_error,
+    "dedup_cluster_stats": q_dedup_cluster_stats,
+    "langid_confusion": q_langid_confusion,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "quality_buckets": q_quality_buckets,
     "canonical_url": q_canonical_url,
@@ -4401,4 +4506,6 @@ ORACLE_SQL: dict[str, str] = {
     "rule_ablation": _sql_rule_ablation(),
     "readability": _SQL_READABILITY,
     "minhash_error": _sql_minhash_error(),
+    "dedup_cluster_stats": _sql_dedup_cluster_stats(),
+    "langid_confusion": _sql_langid_confusion(),
 }

@@ -129,6 +129,10 @@ QUERIES_UNDER_TEST = [
     # and minhash_error re-exercises the portable signature spec with the
     # signature AGREEMENT count on top
     "pii_stats", "rule_ablation", "readability", "minhash_error",
+    # cluster-size histogram over the fuzzed fuzzy-dedup composition, and
+    # the stopword-argmax confusion matrix (İ lower-shim, NBSP \s+ parity,
+    # tie order pinned by (hits DESC, lang DESC) on both engines)
+    "dedup_cluster_stats", "langid_confusion",
 ]
 
 

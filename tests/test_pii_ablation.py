@@ -90,3 +90,46 @@ def test_readability_formula(spark):
     assert r1.flesch == pytest.approx(expected, abs=1e-6)
     assert rows[2].n_words == 0 and rows[2].flesch is None
     assert rows[3].n_syllables == 1  # 'y' in rhythm; 'tsk' has none
+
+
+def test_dedup_cluster_stats_accounting(spark):
+    from dataquality_spark.queries import (q_dedup_cluster_stats,
+                                           q_fuzzy_dedup_decisions)
+    hist = q_dedup_cluster_stats(spark, SF).collect()
+    n_docs = q_fuzzy_dedup_decisions(spark, SF).count()
+    assert sum(r.n_docs for r in hist) == n_docs
+    for r in hist:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_dropped == (r.cluster_size - 1) * r.n_clusters
+
+
+def test_langid_confusion_totals_and_codes(spark):
+    from dataquality_spark.queries import q_langid_confusion
+    from dataquality_spark.queries import _t
+    rows = q_langid_confusion(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == \
+        _t(spark, SF, "documents").count()
+    assert {r.guess for r in rows} <= {"de", "en", "es", "fr", "und"}
+
+
+def test_langid_confusion_diagonal_on_planted_text(spark):
+    # real stopword text per language → the guess must hit the diagonal
+    # (the synthetic corpus's vocabulary is English-ish for every label,
+    # so the diagonal check needs planted text, not the fixture corpus)
+    import os
+    import tempfile
+    from dataquality_spark.queries import q_langid_confusion
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog are in the house", "en"),
+         (2, "der hund und die katze sind nicht im haus", "de"),
+         (3, "le chien et le chat sont dans la maison", "fr"),
+         (4, "el perro y el gato son de la casa", "es"),
+         (5, "zzz qqq xxx", "en"),   # no stopwords anywhere → 'und'
+         (6, None, "de")],           # NULL text → 'und'
+        "doc_id long, text string, lang string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {(r.lang, r.guess): r.n_docs
+               for r in q_langid_confusion(spark, d).collect()}
+    assert got == {("en", "en"): 1, ("de", "de"): 1, ("fr", "fr"): 1,
+                   ("es", "es"): 1, ("en", "und"): 1, ("de", "und"): 1}
