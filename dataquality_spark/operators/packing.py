@@ -45,6 +45,15 @@ def with_global_offset(df: DataFrame, size_col: str, order_by: list[str],
         "spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(parts), *[F.col(c) for c in order_by])
     ranged = (ranged.withColumn("_pid", F.spark_partition_id())
+              # explicit hash exchange on _pid at the operator's OWN width:
+              # the window below otherwise inserts an implicit exchange at
+              # the session's wide-start AQE initialPartitionNum (1024),
+              # and because it sits under the correctness persist(), AQE
+              # never coalesces it (cached-plan output partitioning is
+              # pinned) — measured 3× on sequence_pack at sf0.1 (0.8s →
+              # 2.4s warm) from repeated 1024-tiny-task stages. Same
+              # shuffle volume either way; this one is `parts` wide.
+              .repartition(int(parts), "_pid")
               .withColumn("_cum_in",
                           F.sum(F.col(size_col)).over(
                               Window.partitionBy("_pid")

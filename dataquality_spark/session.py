@@ -61,6 +61,18 @@ def get_spark(
         # small-query overhead and per-task memory bounded at every scale
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
+        # let AQE coalesce exchanges that sit UNDER a persist() too: with
+        # the default (false), the last exchange below every cache point
+        # is pinned at the 1024 wide start — each job touching the cached
+        # frame re-pays a 1024-tiny-task stage. Measured on sf0.1 warm:
+        # decontaminate 4.8s → 0.6s, token_drift → 0.45s, bpe_tokenize
+        # 1.0s → 0.4s (every operator that persists a groupBy/distinct:
+        # dsir bucket table, textrank edges, bpe word counts). Safe for
+        # the correctness pins: a cache's physical layout is decided once
+        # at materialization and all consumers read that same entry —
+        # partition-invariance + resume tests gate this.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size for the UDF stages: larger batches amortize the
