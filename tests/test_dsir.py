@@ -88,3 +88,30 @@ def test_dsir_select_partition_invariance(spark):
     one = dsir_select(df.coalesce(1), tgt, k=20).collect()
     many = dsir_select(df.repartition(13), tgt, k=20).collect()
     assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+
+def test_dsir_select_heavy_ordering_is_heap_k_not_global_sort(spark):
+    """Pin the docstring's plan claim (dsir.py:38-40,148-149): the top-k
+    over the full raw pool compiles to TakeOrderedAndProject (distributed
+    per-partition heap-k + driver merge of k rows), and the only
+    single-partition Window (the rank over the already-selected rows) sits
+    ABOVE that limit — i.e. its input is bounded by k, never the corpus.
+    A regression to orderBy-without-limit (global Sort feeding the Window)
+    would put a corpus-wide single-partition exchange in the plan, the
+    exact anti-pattern operators/packing.py exists to avoid."""
+    rows = [(i, f"tok{i % 7} tok{i % 3} words w{i % 11}",
+             "src0" if i % 5 == 0 else "raw") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, "
+                                     "source: string")
+    out = dsir_select(df, F.col("source") == "src0", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # the Window's child chain must contain the heap-k limit, so the
+    # window input is k rows: in the tree string the Window node appears
+    # ABOVE (before) TakeOrderedAndProject
+    win_at = plan.index("Window")
+    tk_at = plan.index("TakeOrderedAndProject")
+    assert win_at < tk_at, plan[:600]
+    # and no global Sort node below the heap-k (Sort would mean the
+    # corpus-wide ordering materialized before the limit)
+    assert "Sort " not in plan[tk_at:], plan[tk_at:tk_at + 600]
