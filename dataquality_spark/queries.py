@@ -4311,16 +4311,19 @@ ORDER BY lang, guess
 
 
 # Registry ORDER is evidence policy, not aesthetics: the driver's
-# CORRECTNESS gate verifies the FIRST 50 entries each round. The window
-# below holds (a) every exact-oracle entry that had never received a
-# driver-green row through round 3 (19 of them), (b) the three newly
-# exact round-4 entries (quality_classifier, dsir_select, token_drift),
-# and (c) the exact entries that are the sole or primary oracle witness
-# for a SURVEY §2 ID (COVERAGE.md). Exact entries rotated PAST the window
-# (redundant witnesses — every §2 ID they cover has another green
-# witness, and heuristic_gate's rules run under entry() every round) are
-# all cumulatively driver-green in ≥2 prior rounds (CORRECTNESS_r01–r03);
-# rows-only entries sit at the tail so they never burn an oracle slot.
+# CORRECTNESS gate verifies the FIRST 50 entries each round. Round-5
+# rotation: the six round-4 late additions (pii_stats, rule_ablation,
+# readability, minhash_error, dedup_cluster_stats, langid_confusion) —
+# the only exact-oracle entries never driver-green through r4 — moved
+# INTO the window; six redundant witnesses moved out (range_join,
+# repetition_topngram, paragraph_dedup, ivf_knn, decontaminate,
+# incremental_dedup — each driver-green in BOTH r3 and r4, and no SURVEY
+# §2 ID loses its sole oracle witness: X-7 keeps embedding_knn /
+# jaccard_pairs / cosine_allpairs in evidence, the rest are extension
+# rows with their own pytest suites). With r05 green, ALL 85 exact-oracle
+# entries have a driver-green row in some round. Entries rotated PAST the
+# window stay in the local 91-query sweep every round; rows-only entries
+# sit at the tail so they never burn an oracle slot.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver window: never-driver-checked exact oracles (r1–r3) ---
     "html_extract": q_html_extract,
@@ -4364,19 +4367,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corr_pairs_filter": q_corr_pairs_filter,
     "date_format_check": q_date_format_check,
     "c1_neardup_rescue": q_c1_neardup_rescue,
-    "range_join": q_range_join,
-    "repetition_topngram": q_repetition_topngram,
-    "paragraph_dedup": q_paragraph_dedup,
     "normalize_text": q_normalize_text,
-    "ivf_knn": q_ivf_knn,
     "scrub_documents": q_scrub_documents,
     "neardup_components": q_neardup_components,
     "token_budget_sample": q_token_budget_sample,
-    "decontaminate": q_decontaminate,
-    "incremental_dedup": q_incremental_dedup,
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
-    # --- new in round 4 AFTER the window froze: exact oracles, verified
-    # by the local sweep this round; rotate INTO the window in round 5 ---
+    # --- rotated INTO the window in round 5: the six r4 late additions,
+    # the only exact oracles with no driver-green row through r4 ---
     "pii_stats": q_pii_stats,
     "rule_ablation": q_rule_ablation,
     "readability": q_readability,
@@ -4384,6 +4381,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "langid_confusion": q_langid_confusion,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
+    "range_join": q_range_join,
+    "repetition_topngram": q_repetition_topngram,
+    "paragraph_dedup": q_paragraph_dedup,
+    "ivf_knn": q_ivf_knn,
+    "decontaminate": q_decontaminate,
+    "incremental_dedup": q_incremental_dedup,
     "quality_buckets": q_quality_buckets,
     "canonical_url": q_canonical_url,
     "multimodal_decode": q_multimodal_decode,

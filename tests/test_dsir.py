@@ -109,8 +109,9 @@ def test_dsir_select_heavy_ordering_is_heap_k_not_global_sort(spark):
     # the Window's child chain must contain the heap-k limit, so the
     # window input is k rows: in the tree string the Window node appears
     # ABOVE (before) TakeOrderedAndProject
-    win_at = plan.index("Window")
-    tk_at = plan.index("TakeOrderedAndProject")
+    assert "Window" in plan, plan
+    win_at = plan.find("Window")
+    tk_at = plan.find("TakeOrderedAndProject")
     assert win_at < tk_at, plan[:600]
     # and no global Sort node below the heap-k (Sort would mean the
     # corpus-wide ordering materialized before the limit)
