@@ -106,6 +106,16 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dataquality_spark.session import get_spark
     from dataquality_spark import queries as Q
+    from tools.cpu_window import classify, probe
+
+    # Window evidence rides the artifact itself: the host is co-tenant and
+    # bursty (round-4 adjudication), so every bench line records a CPU
+    # probe taken before Spark starts and after it stops. bench_compare
+    # refuses to emit an automated regression verdict across mismatched
+    # windows. Probing before AND after bounds the window for the whole
+    # run — a burst that starts mid-suite still shows in the exit probe.
+    probe_before = probe()
+    log(f"cpu probe (before): {probe_before} → {classify(probe_before)}")
 
     sf = sf_from_dir(sf_dir)
     n_pages = max(2000, int(6_000_000 * sf))
@@ -173,6 +183,12 @@ def main():
             log(f"query {name}: {qsecs[name]}s ({n} rows)")
 
     total = round(sum(qsecs.values()), 3)
+    spark.stop()
+    probe_after = probe()
+    log(f"cpu probe (after): {probe_after} → {classify(probe_after)}")
+    # the run's window is the WORSE of the two bracketing probes
+    labels = [classify(probe_before), classify(probe_after)]
+    window = "degraded" if "degraded" in labels else "quiet"
     result = {
         "metric": "headline_suite_sec",
         "value": total,
@@ -182,8 +198,10 @@ def main():
         "pipeline_docs_per_sec": round(pipe["docs_per_sec"], 1),
         "pipeline_rows": pipe["rows"],
         "cpus": cpus,
+        "cpu_probe_before": probe_before,
+        "cpu_probe_after": probe_after,
+        "window": window,
     }
-    spark.stop()
     print(json.dumps(result))
 
 

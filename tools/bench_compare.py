@@ -5,18 +5,43 @@ under "parsed"; raw bench.py output is the line itself — both accepted.
 
 Usage:
     python tools/bench_compare.py OLD.json NEW.json [--threshold 1.3]
+                                  [--allow-cross-window]
 
 A query is flagged when new/old exceeds the threshold AND the absolute
 delta exceeds 0.3s (sub-second jitter on a shared host is not a
 regression). Exit 1 if any flagged.
+
+Window routing (round-4 verdict item #7): bench lines carry their own CPU
+probe (``cpu_probe_before/after``, see tools/cpu_window.py) since round 5;
+known pre-probe artifacts are routed via KNOWN_WINDOWS (adjudicated in
+BENCH/BASELINE.md). If either side is degraded/unknown, or the windows
+differ, the tool still prints the table but REFUSES the automated
+regression verdict (exit 2) unless --allow-cross-window is given — a ratio
+across windows measures the host, not the build.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.cpu_window import classify  # noqa: E402
+
 ABS_FLOOR_SEC = 0.3
+
+# Pre-round-5 artifacts carry no cpu_probe fields; these labels are the
+# BENCH/BASELINE.md adjudications (forensic per-query ratio + warm re-time
+# + 32-way probe evidence recorded there), keyed by basename.
+KNOWN_WINDOWS = {
+    "bench_r3_closeout_local.json": "quiet",
+    "bench_r3_final_local.json": "quiet",
+    "bench_r4_closeout_degraded1.json": "degraded",
+    "bench_r4_closeout_degraded2.json": "degraded",
+    "bench_r4_conffix_local.json": "quiet",
+}
 
 
 def load(path: str) -> dict:
@@ -29,12 +54,31 @@ def load(path: str) -> dict:
     return d
 
 
+def window_of(path: str, d: dict) -> str:
+    """'quiet' | 'degraded' | 'unknown' for one artifact: the stored
+    probe fields if present (worse of the two bracketing probes), else
+    the adjudicated legacy label, else unknown."""
+    if "window" in d:
+        return d["window"]
+    probes = [d.get("cpu_probe_before"), d.get("cpu_probe_after")]
+    labels = [classify(p) for p in probes if p]
+    if labels:
+        if "degraded" in labels:
+            return "degraded"
+        if "unknown" in labels:
+            return "unknown"
+        return "quiet"
+    return KNOWN_WINDOWS.get(os.path.basename(path), "unknown")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thr = 1.3
     if "--threshold" in sys.argv:
         thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+    allow_cross = "--allow-cross-window" in sys.argv
     old, new = load(args[0]), load(args[1])
+    w_old, w_new = window_of(args[0], old), window_of(args[1], new)
     oq, nq = old["queries"], new["queries"]
     flagged, improved = [], []
     print(f"{'query':28s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
@@ -58,6 +102,14 @@ def main():
     if "pipeline_docs_per_sec" in old and "pipeline_docs_per_sec" in new:
         print(f"pipeline docs/s: {old['pipeline_docs_per_sec']} -> "
               f"{new['pipeline_docs_per_sec']}")
+    print(f"windows: old={w_old} new={w_new}")
+    if not allow_cross and not (w_old == w_new == "quiet"):
+        print("CROSS-WINDOW: at least one side is degraded/unknown (or "
+              "labels differ) — the ratio above measures the host, not "
+              "the build. No automated verdict; re-run in a quiet window "
+              "(python tools/cpu_window.py gates one) or pass "
+              "--allow-cross-window to accept the comparison as-is.")
+        sys.exit(2)
     sys.exit(1 if flagged else 0)
 
 

@@ -1,0 +1,85 @@
+"""Host-window CPU probe: is this sandbox quiet enough to trust a bench?
+
+The host is co-tenant and bursty; load average is unavailable/meaningless
+here, so the repo's documented gate (BENCH/BASELINE.md, round-4
+adjudication) is an arithmetic-throughput probe: measure single-thread
+iterations/s, then the same loop on N concurrent workers. On a quiet
+32-core host the per-worker rate stays near single-thread and the
+worker-to-worker spread is small; the round-4 degraded windows read
+74% of single-thread with a 2.7× spread.
+
+Used three ways:
+  * ``bench.py`` embeds ``probe()`` results in its JSON line so every
+    bench artifact carries its own window evidence;
+  * ``tools/bench_compare.py`` reads those fields and refuses to emit an
+    automated regression verdict across mismatched windows;
+  * standalone gate before a registry-record run:
+        python tools/cpu_window.py   # prints JSON + QUIET/DEGRADED, exit 0/1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from concurrent.futures import ProcessPoolExecutor
+
+# Quiet bar, calibrated on the round-4 adjudication data: the degraded
+# windows probed 0.74 mean-frac / 2.7 spread, quiet re-times probed ≥0.9 /
+# ≤1.4. Midpoints with margin toward strictness — a borderline window
+# should NOT mint a registry record.
+QUIET_MEAN_FRAC = 0.85
+QUIET_MAX_SPREAD = 1.6
+
+
+def _spin(seconds: float) -> float:
+    """Arithmetic throughput (iterations/s) of one Python thread — same
+    loop as tools/ab_agg_timing.cpu_probe so numbers are comparable."""
+    t0 = time.time()
+    n = 0
+    x = 1.0
+    while time.time() - t0 < seconds:
+        for _ in range(10000):
+            x = x * 1.0000001 + 1e-9
+        n += 10000
+    return n / (time.time() - t0)
+
+
+def probe(workers: int | None = None, seconds: float = 1.5) -> dict:
+    """Single-thread rate, then N concurrent process rates. Returns the
+    fields bench.py stores under ``cpu_probe``."""
+    workers = workers or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    single = _spin(seconds)
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        rates = list(ex.map(_spin, [seconds] * workers))
+    mean = sum(rates) / len(rates)
+    return {
+        "workers": workers,
+        "single_iters_per_sec": round(single),
+        "nway_mean_frac": round(mean / single, 3),
+        "nway_min_frac": round(min(rates) / single, 3),
+        "spread": round(max(rates) / max(min(rates), 1e-9), 2),
+    }
+
+
+def classify(p: dict | None) -> str:
+    """'quiet' | 'degraded' | 'unknown' (no/partial probe fields —
+    pre-round-5 artifacts)."""
+    if not p or "nway_mean_frac" not in p or "spread" not in p:
+        return "unknown"
+    if p["nway_mean_frac"] >= QUIET_MEAN_FRAC and \
+            p["spread"] <= QUIET_MAX_SPREAD:
+        return "quiet"
+    return "degraded"
+
+
+def main():
+    p = probe()
+    label = classify(p)
+    print(json.dumps({**p, "window": label}))
+    sys.exit(0 if label == "quiet" else 1)
+
+
+if __name__ == "__main__":
+    main()
