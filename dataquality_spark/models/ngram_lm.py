@@ -100,3 +100,116 @@ def logprob_batch(texts: pd.Series, lang_idx: np.ndarray, artifact: dict
                 continue
             out[r] = _doc_logprob(str(t), tri_tab[li], ctx_tab[li])
     return out
+
+
+# --- ENGINE-PORTABLE fixed-point spec (exact-oracle path) -------------------
+#
+# Same architecture (per-language char-trigram add-k LM with train-time IQR
+# logprob bounds), re-expressed so every step is identical in numpy and
+# DuckDB SQL — the langid/quality-classifier pattern (models/langid.py §
+# portable, models/quality.py). Shares the portable codepoint fold with
+# langid: ctx hash of position i = h2_i = (cp_i·31 + cp_{i+1}) mod M31,
+# trigram hash = h3_i = (h2_i·31 + cp_{i+2}) mod M31 — so the SQL oracle
+# computes ONE h2/h3 chain and feeds both models.
+#
+# Per-position score (production: log((tri_c + k)/(ctx_c + k·V))) splits into
+#   qtri[l, b3] − qctx[l, b2],   qtri = round(log(tri_c + 0.1)·QS),
+#                                qctx = round(log(ctx_c + 6.4)·QS)
+# so the per-doc sum is pure int64 — exact in any summation order. The IQR
+# gate becomes the cross-multiplied integer window
+#   lo_q[l]·n ≤ sum_q ≤ hi_q[l]·n
+# (lo_q = floor(q1 − pad), hi_q = ceil(q3 + pad) in QS-scaled units — the
+# floor/ceil widens the band by < 1e-6 nats/char, decision-irrelevant).
+# Bounds: |per-position| ≤ ~1.6e7, n ≤ 254 ⇒ |sum_q| < 2^33; lo_q·n < 2^33.
+
+# 8192, not langid's 2048: the gate's whole job is scoring UNSEEN trigrams
+# low, and at 2048 the alias rate let consonant-gibberish pass (measured —
+# junk kind 0 scored in-band). The seed corpus touches ~1k trigram buckets
+# per language either way, so the oracle VALUES table barely grows
+# (11,211 → 13,657 rows) while collisions for novel trigrams drop 4×.
+LM_BUCKETS = 1 << 13
+LM_QSCALE = 1_000_000
+LM_MAX_CHARS = 256           # same prefix budget as the portable langid
+_M31 = (1 << 31) - 1
+LM_QTRI0 = int(np.rint(np.log(ADD_K) * LM_QSCALE))             # count 0
+LM_QCTX0 = int(np.rint(np.log(ADD_K * CHAR_VOCAB) * LM_QSCALE))
+
+
+def portable_tri_ctx(text) -> tuple[np.ndarray, np.ndarray]:
+    """(trigram bucket, context bucket) arrays under the portable spec —
+    raw codepoints, no case fold (the İ lesson)."""
+    z = np.zeros(0, dtype=np.int64)
+    if not isinstance(text, str) or len(text) < 3:
+        return z, z
+    cp = np.frombuffer(text[:LM_MAX_CHARS].encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    if len(cp) < 3:
+        return z, z
+    h2 = (cp[:-1] * 31 + cp[1:]) % _M31
+    h3 = (h2[:-1] * 31 + cp[2:]) % _M31
+    return h3 % LM_BUCKETS, h2[:-1] % LM_BUCKETS
+
+
+def train_lm_portable() -> dict:
+    """Quantized portable LM: per-language int64 (qtri, qctx) tables + the
+    integer IQR gate bounds. Deterministic; the SQL generator derives its
+    VALUES tables from THIS function, so the engines cannot drift."""
+    langs = spec.LANGS
+    tri_c = np.zeros((len(langs), LM_BUCKETS), dtype=np.int64)
+    ctx_c = np.zeros((len(langs), LM_BUCKETS), dtype=np.int64)
+    for li, lg in enumerate(langs):
+        for d in corpus.seed_corpus(lg):
+            tb, cb = portable_tri_ctx(d)
+            if len(tb):
+                np.add.at(tri_c[li], tb, 1)
+                np.add.at(ctx_c[li], cb, 1)
+    qtri = np.rint(np.log(tri_c + ADD_K) * LM_QSCALE).astype(np.int64)
+    qctx = np.rint(np.log(ctx_c + ADD_K * CHAR_VOCAB)
+                   * LM_QSCALE).astype(np.int64)
+    lo_q = np.zeros(len(langs), dtype=np.int64)
+    hi_q = np.zeros(len(langs), dtype=np.int64)
+    for li, lg in enumerate(langs):
+        means = []
+        for d in corpus.seed_corpus(lg):
+            tb, cb = portable_tri_ctx(d)
+            if len(tb) == 0:
+                continue
+            s = int(qtri[li][tb].sum() - qctx[li][cb].sum())
+            means.append(s / len(tb))
+        q1, q3 = np.percentile(np.array(means), [25, 75])
+        pad = max(spec.IQR_FACTOR * (q3 - q1), 0.75 * LM_QSCALE)
+        lo_q[li] = int(np.floor(q1 - pad))
+        hi_q[li] = int(np.ceil(q3 + pad))
+    return {"langs": list(langs), "qtri": qtri, "qctx": qctx,
+            "lo_q": lo_q, "hi_q": hi_q}
+
+
+def lm_score_portable_batch(texts, lang_idx: np.ndarray, art: dict
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """(n_trigrams, int64 score sum) per text under lang_idx's tables;
+    (0, 0) when lang_idx < 0 or the text has no trigrams."""
+    qtri, qctx = art["qtri"], art["qctx"]
+    n_out = np.zeros(len(texts), dtype=np.int64)
+    s_out = np.zeros(len(texts), dtype=np.int64)
+    for r, t in enumerate(texts):
+        li = int(lang_idx[r])
+        if li < 0:
+            continue
+        tb, cb = portable_tri_ctx(t)
+        if len(tb) == 0:
+            continue
+        n_out[r] = len(tb)
+        s_out[r] = int(qtri[li][tb].sum() - qctx[li][cb].sum())
+    return n_out, s_out
+
+
+_PORTABLE_LM: dict | None = None
+
+
+def get_portable_lm() -> dict:
+    """Train-once-per-process portable LM (shared by the Spark UDF stage
+    and the oracle-SQL generator)."""
+    global _PORTABLE_LM
+    if _PORTABLE_LM is None:
+        _PORTABLE_LM = train_lm_portable()
+    return _PORTABLE_LM

@@ -162,3 +162,102 @@ def with_model_scores(spark: SparkSession, df: DataFrame,
         .withColumn("r_perplexity", F.col("lp_ok"))
         .drop("lp_ok")
     )
+
+
+# --- ENGINE-PORTABLE model stage (exact-oracle pipeline path) ---------------
+
+# r_lang_match margin floor, in L_QSCALE units PER FEATURE: the portable
+# analogue of MIN_LANGID_CONF (a softmax level has no integer mirror; a
+# mean per-feature log-odds margin does — ≥0.01 nats/feature over the
+# runner-up). Pinned here because both the UDF columns and the SQL oracle
+# derive the rule from it.
+L_MARGIN_PER_FEAT = 10_000
+
+PORTABLE_SCHEMA = T.StructType([
+    T.StructField("pred_idx", T.IntegerType()),
+    T.StructField("lg_n", T.IntegerType()),      # langid feature count
+    T.StructField("margin", T.LongType()),       # best − runner-up, int64
+    T.StructField("lm_n", T.IntegerType()),      # trigram count
+    T.StructField("lm_num", T.LongType()),       # Σ quantized logprob terms
+    T.StructField("scrubbed_text", T.StringType()),
+])
+
+
+def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
+                                  plm_art: dict):
+    """Fused PORTABLE langid+LM+scrub UDF: the fixed-point integer surfaces
+    (models/langid.py § portable, models/ngram_lm.py § portable) plus the
+    byte-exact scrub, one Arrow crossing — same fusion contract as
+    ``make_score_scrub_udf``."""
+    from dataquality_spark.models import langid as L
+    from dataquality_spark.models import ngram_lm as LM
+    from dataquality_spark.scrub import scrub_series
+    sc = spark.sparkContext
+    b_lg = sc.broadcast(plang_art)
+    b_lm = sc.broadcast(plm_art)
+
+    @F.pandas_udf(PORTABLE_SCHEMA)
+    def portable_score_scrub(text: pd.Series) -> pd.DataFrame:
+        pred, margin = L.predict_portable_batch(text, b_lg.value)
+        lg_n = np.fromiter(
+            (len(L.portable_lang_buckets(t)) for t in text.to_numpy(object)),
+            dtype=np.int64, count=len(text))
+        lm_n, lm_num = LM.lm_score_portable_batch(
+            text.tolist(), pred, b_lm.value)
+        return pd.DataFrame({
+            "pred_idx": pred.astype(np.int32),
+            "lg_n": lg_n.astype(np.int32),
+            "margin": margin,
+            "lm_n": lm_n.astype(np.int32),
+            "lm_num": lm_num,
+            "scrubbed_text": scrub_series(text),
+        })
+
+    return portable_score_scrub.asNondeterministic()
+
+
+def with_portable_scores_and_scrub(spark: SparkSession, df: DataFrame,
+                                   text_col: str = "text",
+                                   lang_col: str = "lang") -> DataFrame:
+    """PORTABLE stage-B: same r_lang_match / r_perplexity / scrubbed_text
+    contract as ``with_model_scores_and_scrub``, but every decision is pure
+    integer arithmetic — SQL-replayable, which is what makes the full
+    pipeline-metrics query exact-oracle. The rules:
+
+      r_lang_match  = pred == claimed AND margin ≥ lg_n·L_MARGIN_PER_FEAT
+      r_perplexity  = lm_n > 0 AND lo_q[pred]·lm_n ≤ lm_num ≤ hi_q[pred]·lm_n
+    """
+    from dataquality_spark.models import langid as L
+    from dataquality_spark.models import ngram_lm as LM
+    plang = L.get_portable_langid()
+    plm = LM.get_portable_lm()
+    udf = make_portable_score_scrub_udf(spark, plang, plm)
+    df = df.withColumn("_m", udf(F.col(text_col)))
+    lang_arr = F.array(*[F.lit(c) for c in plang["langs"]])
+    lo_arr = F.array(*[F.lit(int(v)) for v in plm["lo_q"].tolist()])
+    hi_arr = F.array(*[F.lit(int(v)) for v in plm["hi_q"].tolist()])
+    pred_ok = F.col("_m.pred_idx") >= 0
+    pred_lang = F.when(pred_ok,
+                       F.element_at(lang_arr, F.col("_m.pred_idx") + 1))
+    lo_b = F.when(pred_ok, F.element_at(lo_arr, F.col("_m.pred_idx") + 1))
+    hi_b = F.when(pred_ok, F.element_at(hi_arr, F.col("_m.pred_idx") + 1))
+    return (
+        df.select("*", "_m.margin", "_m.lg_n", "_m.lm_n", "_m.lm_num",
+                  "_m.scrubbed_text")
+        .withColumn("pred_lang", pred_lang)
+        .withColumn(
+            "r_lang_match",
+            F.coalesce(
+                pred_ok & (F.col("pred_lang") == F.col(lang_col))
+                & (F.col("margin")
+                   >= F.col("lg_n").cast("long") * F.lit(L_MARGIN_PER_FEAT)),
+                F.lit(False)))
+        .withColumn(
+            "r_perplexity",
+            F.coalesce(
+                pred_ok & (F.col("lm_n") > 0)
+                & (F.col("lm_num") >= lo_b * F.col("lm_n").cast("long"))
+                & (F.col("lm_num") <= hi_b * F.col("lm_n").cast("long")),
+                F.lit(False)))
+        .drop("_m")
+    )

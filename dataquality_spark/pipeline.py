@@ -66,7 +66,8 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
                  persist: bool = True,
                  cleanup: list[DataFrame] | None = None,
                  with_classifier: bool = False,
-                 lang_optional: bool = False) -> DataFrame:
+                 lang_optional: bool = False,
+                 portable_models: bool = False) -> DataFrame:
     """pages → annotated frame with all rule flags, keep, scrubbed_text.
 
     ``keep`` = every heuristic + model rule passes AND the row is its exact-dup
@@ -95,7 +96,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
         from dataquality_spark.operators.dedup import suggest_salt_buckets
         salt_buckets = suggest_salt_buckets(
             pages, TX.content_hash(F.col("text")))
-    art = get_artifacts()
+    art = None if portable_models else get_artifacts()
     # html is never consumed downstream (rules/models/scrub all read `text`);
     # dropping it here keeps it out of the persisted frame and the shuffle.
     # Column pruning would skip it at scan time anyway (SURVEY.md §4.2).
@@ -108,13 +109,24 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
     # Optional learned-quality stage (with_classifier): the classifier rides
     # the SAME fused UDF crossing as one more struct field — no extra Python
     # runner, no extra Arrow transfer of `text`.
+    if portable_models:
+        # ENGINE-PORTABLE stage B (fixed-point integer rules — the
+        # SQL-replayable mode the exact pipeline-metrics oracle runs;
+        # same fused one-UDF contract). Decision surfaces only: callers
+        # needing the graded lang_conf/logprob floats use the default.
+        assert not with_classifier and not lang_optional, \
+            "portable_models composes with the default stage options only"
     q_art = None
     if with_classifier:
         from dataquality_spark.models import quality
         q_art = quality.train_quality()
-    df = with_model_scores_and_scrub(spark, df, art["langid"], art["lm"],
-                                     quality_art=q_art,
-                                     lang_optional=lang_optional)
+    if portable_models:
+        from dataquality_spark.models.udf import with_portable_scores_and_scrub
+        df = with_portable_scores_and_scrub(spark, df)
+    else:
+        df = with_model_scores_and_scrub(spark, df, art["langid"], art["lm"],
+                                         quality_art=q_art,
+                                         lang_optional=lang_optional)
     df = with_rule_flags(df)
     gate = F.col("heuristic_pass") & F.col("r_lang_match") & F.col("r_perplexity")
     if with_classifier:

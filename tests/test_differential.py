@@ -133,6 +133,14 @@ QUERIES_UNDER_TEST = [
     # the stopword-argmax confusion matrix (İ lower-shim, NBSP \s+ parity,
     # tie order pinned by (hits DESC, lang DESC) on both engines)
     "dedup_cluster_stats", "langid_confusion",
+    # round-5 exact flips: the portable fixed-point langid argmax+margin
+    # (raw-codepoint hashing — no case fold by construction; non-BMP and
+    # combining-mark tokens exercise the str_split/substring codepoint
+    # parity probed for the spec), and the FULL portable pipeline DAG —
+    # 11 rule counts spanning Java-\s vs RE2 tokenization (explicit
+    # [ \t\n\x0B\f\r] class), the stop-list CASE with the İ shim, both
+    # fixed-point model gates, and the dedup winner window
+    "langid_scores", "pages_pipeline",
 ]
 
 
