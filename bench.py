@@ -95,6 +95,9 @@ HEADLINE_QUERIES = [
     "gopher_line_flags", "embedding_neardup", "pii_stats",
     "rule_ablation", "readability", "minhash_error",
     "dedup_cluster_stats", "langid_confusion",
+    # round-5 exact flips (driver window): the portable fixed-point langid
+    # confusion and the FULL portable pipeline DAG over documents
+    "langid_scores", "pages_pipeline",
 ]
 
 
@@ -114,8 +117,23 @@ def main():
     # refuses to emit an automated regression verdict across mismatched
     # windows. Probing before AND after bounds the window for the whole
     # run — a burst that starts mid-suite still shows in the exit probe.
+    #
+    # If the entry probe reads degraded, WAIT for a quiet window (bounded:
+    # the bursts observed in r3/r4 lasted seconds-to-minutes, and a bench
+    # started degraded is a wasted run that understates the build — the
+    # round-4 close-out artifacts cost exactly this). Override budget with
+    # SPARK_GRAFT_QUIET_WAIT_SEC=0 to start immediately.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "240"))
+    t_wait0 = time.time()
     probe_before = probe()
     log(f"cpu probe (before): {probe_before} → {classify(probe_before)}")
+    while (classify(probe_before) == "degraded"
+           and time.time() - t_wait0 < wait_budget):
+        log(f"degraded entry window — waiting for quiet "
+            f"({wait_budget - (time.time() - t_wait0):.0f}s budget left)")
+        time.sleep(15)
+        probe_before = probe()
+        log(f"cpu probe (before): {probe_before} → {classify(probe_before)}")
 
     sf = sf_from_dir(sf_dir)
     n_pages = max(2000, int(6_000_000 * sf))
@@ -141,6 +159,11 @@ def main():
     from dataquality_spark import pipeline as P
     from dataquality_spark.models import quality
     quality.load_quantized_artifact()  # the registered query's artifact
+    # portable fixed-point artifacts (langid_scores / pages_pipeline rows):
+    # driver-side one-time training belongs in warm-up, not the timed query
+    from dataquality_spark.models import langid as _L, ngram_lm as _LM
+    _L.get_portable_langid()
+    _LM.get_portable_lm()
     cleanup = []
     ann = P.run_pipeline(spark, spark.read.parquet(warm), cleanup=cleanup)
     shutil.rmtree("/tmp/dq_bench_warm_out", ignore_errors=True)
