@@ -237,14 +237,30 @@ def _band_bucket_udf_portable(spark: SparkSession, dim: int, bands: int,
     return buckets
 
 
+def auto_band_bits(n: int, target_bucket_rows: int = 50,
+                   floor_bits: int = 6, cap_bits: int = 48) -> int:
+    """Smallest b ≥ floor_bits with n/2^b ≤ target_bucket_rows — mean
+    band-bucket occupancy stays corpus-size-invariant, which is what keeps
+    the hot-bucket cap an outlier guard instead of a recall killer as the
+    corpus grows (see ``embedding_near_dup_pairs``). Capped at 48: the
+    bucket key packs (band << band_bits) | bits into an int64. Integer
+    loop, no log2 FP edges."""
+    b = floor_bits
+    while n > target_bucket_rows * (1 << b) and b < cap_bits:
+        b += 1
+    return b
+
+
 def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
                              threshold: float = 0.9,
-                             bands: int = 8, band_bits: int = 6,
+                             bands: int = 8,
+                             band_bits: int | str = 6,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              dim: int | None = None, seed: int = 7,
                              max_bucket_size: int = 200,
                              plane_spec: str = "gauss",
+                             target_bucket_rows: int = 50,
                              cleanup: list[DataFrame] | None = None
                              ) -> DataFrame:
     """ALL-PAIRS embedding near-duplicates — the dense-vector analogue of
@@ -258,6 +274,19 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
     Default 8 bands × 6 bits: candidate-recall ≈0.98 at cos 0.9, ≈0.5 at
     cos 0.5 (the S-curve knee sits near the threshold by construction).
     Precision is exact — every emitted pair is verified.
+
+    ``band_bits`` is THE scale knob: the keyspace per band is 2^band_bits,
+    so mean bucket occupancy is n/2^band_bits — fixed bits means occupancy
+    grows with the corpus until every bucket crosses ``max_bucket_size``
+    and gets dropped (recall collapse; measured: at 10× the driver shape,
+    mean occupancy 78 vs cap 200 already inverts the tier times because
+    the within-bucket quadratic join shrinks as buckets die).
+    ``band_bits="auto"`` sizes it from the corpus — the smallest b with
+    n/2^b ≤ ``target_bucket_rows`` (one count job; the ``n_planes="auto"``
+    contract from ``semantic_dedup``) — so occupancy stays flat at any
+    scale and the cap returns to its outlier-skew role. More bits per band
+    narrows the S-curve toward exact matches; at near-1 thresholds
+    (dedup's regime) per-bit collision prob ≈ 1, so recall holds.
 
     The signature frame is persisted (it feeds bucketing AND both sides of
     the verify join). Pass ``cleanup`` (a list) to receive the persisted
@@ -276,6 +305,8 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
     if plane_spec not in ("gauss", "portable"):
         raise ValueError(f"unknown plane_spec {plane_spec!r}")
     df = _vec_guard(df, vec_col, dim)
+    if band_bits == "auto":
+        band_bits = auto_band_bits(df.count(), target_bucket_rows)
     if plane_spec == "portable":
         # the fixed-point quantization is undefined on a NULL element
         # (np.floor(NaN)→int64 is UB) while SQL SUM skips the NULL term —

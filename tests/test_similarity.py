@@ -405,3 +405,43 @@ def test_semdedup_auto_planes_matches_explicit(spark):
     exact = sorted(map(tuple, semantic_dedup(
         spark, tiny, n_planes=0).collect()))
     assert auto0 == exact
+
+
+def test_embedding_neardup_auto_band_bits(spark):
+    """band_bits="auto" must (a) resolve to the smallest b≥6 with
+    n/2^b ≤ target_bucket_rows and give pair-identical output to that
+    explicit b, and (b) keep exact-duplicate recall when the corpus grows
+    past the point where FIXED bits would push mean occupancy toward the
+    hot-bucket cap (the scale failure mode measured on the 10× tier:
+    fixed 6 bits → occupancy 78 of cap 200 at 40k rows and climbing)."""
+    from dataquality_spark.operators.similarity import embedding_near_dup_pairs
+    rng = np.random.RandomState(23)
+    n = 800
+    base = rng.randn(n, 16)
+    rows = [(i, v.tolist()) for i, v in enumerate(base)]
+    # planted exact dups: id+10000 is a scaled copy (cos exactly 1)
+    rows += [(i + 10_000, (v * 2.0).tolist()) for i, v in enumerate(base[:40])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # (a) auto ≡ explicit: 840/2^b ≤ 10 first at b=7 (840/64 = 13.1 > 10,
+    # 840/128 = 6.6 ≤ 10) → auto must pick 7
+    auto = sorted(map(tuple, embedding_near_dup_pairs(
+        spark, df, threshold=0.999, dim=16, band_bits="auto",
+        target_bucket_rows=10).collect()))
+    explicit = sorted(map(tuple, embedding_near_dup_pairs(
+        spark, df, threshold=0.999, dim=16, band_bits=7).collect()))
+    assert auto == explicit and len(auto) > 0
+
+    # (b) planted exact-dup pairs all recalled under auto sizing (identical
+    # sign bits in every band regardless of bits-per-band)
+    found = {(a, b) for a, b, _ in auto}
+    assert {(i, i + 10_000) for i in range(40)} <= found
+
+    # (c) the sizing rule itself: smallest b≥6 with n/2^b ≤ target,
+    # occupancy-invariant as the corpus grows, int64-capped
+    from dataquality_spark.operators.similarity import auto_band_bits
+    assert auto_band_bits(840, 10) == 7
+    assert auto_band_bits(100, 50) == 6          # floor
+    assert auto_band_bits(40_000, 50) == 10      # the measured 10x tier
+    assert auto_band_bits(40_000_000, 50) == 20  # grows with the corpus
+    assert auto_band_bits(2**80, 50) == 48       # int64 key cap
