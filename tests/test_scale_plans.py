@@ -134,6 +134,8 @@ def test_scale_md_growth_within_bar():
     assert any(n.startswith("pipeline 10") for n in names), \
         "second pipeline decade missing from BENCH/SCALE.md"
     assert "semdedup(auto)" in names
+    assert "embedding_neardup(auto)" in names, \
+        "occupancy-invariant band_bits row missing (round-5 knob)"
     for name, _, _, growth in rows:
         assert float(growth) <= MAX_GROWTH_PER_10X, (name, growth)
     assert "PASS" in md and "FAIL" not in md
