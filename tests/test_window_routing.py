@@ -92,6 +92,36 @@ def test_compare_quiet_quiet_keeps_regression_semantics(tmp_path):
     assert ok.returncode == 0, ok.stdout
 
 
+def test_compare_refuses_quiet_but_throttled_host(tmp_path):
+    # This round's observed failure shape: the fraction-based probe reads
+    # quiet on a UNIFORMLY throttled host (every core slowed alike), so
+    # two quiet labels at materially different absolute single-thread
+    # rates still mustn't mint an automated verdict — 19.9M vs 30M
+    # inflated the same build's suite 84.2s → 109.7s.
+    fast = {**QUIET_PROBE, "single_iters_per_sec": 30_000_000}
+    slow = {**QUIET_PROBE, "single_iters_per_sec": 19_900_000}
+    old = _bench_line(84.2, probes=(fast, fast))
+    new = _bench_line(109.7, probes=(slow, slow))
+    r = _run_compare(tmp_path, old, new)
+    assert r.returncode == 2, r.stdout + r.stderr
+    assert "HOST-SPEED MISMATCH" in r.stdout
+    # annotate, don't hide: the table and both speeds are still printed
+    assert "q1" in r.stdout and "ratio 1.51" in r.stdout
+    forced = _run_compare(tmp_path, old, new, "--allow-cross-window")
+    assert forced.returncode == 1, forced.stdout  # regression verdict kept
+
+
+def test_compare_small_speed_wobble_passes(tmp_path):
+    # ≤1.25× absolute-rate wobble is normal quiet-window variance and
+    # must NOT block the verdict (measured ≤ ~1.1× across quiet runs)
+    a = {**QUIET_PROBE, "single_iters_per_sec": 30_000_000}
+    b = {**QUIET_PROBE, "single_iters_per_sec": 27_500_000}
+    r = _run_compare(tmp_path,
+                     _bench_line(10.0, probes=(a, a)),
+                     _bench_line(10.1, probes=(b, b)))
+    assert r.returncode == 0, r.stdout
+
+
 def test_compare_unknown_window_refused_unless_overridden(tmp_path):
     old = _bench_line(10.0)  # pre-r5 shape, unknown window
     new = _bench_line(10.1, probes=(QUIET_PROBE, QUIET_PROBE))

@@ -18,6 +18,16 @@ BENCH/BASELINE.md). If either side is degraded/unknown, or the windows
 differ, the tool still prints the table but REFUSES the automated
 regression verdict (exit 2) unless --allow-cross-window is given — a ratio
 across windows measures the host, not the build.
+
+Host-speed parity (round 5): the window labels are FRACTION-based
+(n-way rate vs the same run's single-thread rate), so a uniformly
+throttled host — every core slowed the same amount — still classifies
+"quiet" (observed this round: a 19.9M iters/s entry probe vs the host's
+normal ~30M minted a 109.7s suite on the same build that times 84.2s at
+full speed). Two quiet labels therefore aren't enough: when both
+artifacts carry absolute ``single_iters_per_sec`` probes, the verdict is
+also refused if the two host speeds differ by more than
+HOST_SPEED_PARITY — that ratio measures the throttle, not the build.
 """
 
 from __future__ import annotations
@@ -31,6 +41,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.cpu_window import classify  # noqa: E402
 
 ABS_FLOOR_SEC = 0.3
+# Max allowed ratio between the two artifacts' absolute single-thread
+# probe rates before the comparison is declared cross-speed. Calibrated
+# on this round's observed throttle (30M → 19.9M ≈ 1.51×, which inflated
+# the suite 84.2s → 109.7s); normal quiet-window wobble measured ≤ ~1.1×.
+HOST_SPEED_PARITY = 1.25
 
 # Pre-round-5 artifacts carry no cpu_probe fields; these labels are the
 # BENCH/BASELINE.md adjudications (forensic per-query ratio + warm re-time
@@ -69,6 +84,15 @@ def window_of(path: str, d: dict) -> str:
             return "unknown"
         return "quiet"
     return KNOWN_WINDOWS.get(os.path.basename(path), "unknown")
+
+
+def host_speed_of(d: dict) -> float | None:
+    """Mean absolute single-thread rate of the artifact's bracketing
+    probes (iters/s), or None for pre-probe artifacts."""
+    rates = [p["single_iters_per_sec"]
+             for p in (d.get("cpu_probe_before"), d.get("cpu_probe_after"))
+             if p and p.get("single_iters_per_sec")]
+    return sum(rates) / len(rates) if rates else None
 
 
 def main():
@@ -110,6 +134,20 @@ def main():
               "(python tools/cpu_window.py gates one) or pass "
               "--allow-cross-window to accept the comparison as-is.")
         sys.exit(2)
+    s_old, s_new = host_speed_of(old), host_speed_of(new)
+    if s_old and s_new:
+        speed_ratio = max(s_old, s_new) / min(s_old, s_new)
+        print(f"host speed: old {s_old / 1e6:.1f}M new {s_new / 1e6:.1f}M "
+              f"iters/s (ratio {speed_ratio:.2f})")
+        if not allow_cross and speed_ratio > HOST_SPEED_PARITY:
+            print("HOST-SPEED MISMATCH: both windows read quiet, but the "
+                  "absolute single-thread rates differ beyond "
+                  f"{HOST_SPEED_PARITY}× — a uniformly throttled host "
+                  "classifies quiet under the fraction-based probe, so "
+                  "this ratio measures the throttle, not the build. No "
+                  "automated verdict; re-run when the slower side's host "
+                  "recovers or pass --allow-cross-window.")
+            sys.exit(2)
     sys.exit(1 if flagged else 0)
 
 
