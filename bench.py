@@ -109,7 +109,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dataquality_spark.session import get_spark
     from dataquality_spark import queries as Q
-    from tools.cpu_window import classify, probe
+    from tools.cpu_window import at_speed, classify, probe
 
     # Window evidence rides the artifact itself: the host is co-tenant and
     # bursty (round-4 adjudication), so every bench line records a CPU
@@ -123,17 +123,26 @@ def main():
     # started degraded is a wasted run that understates the build — the
     # round-4 close-out artifacts cost exactly this). Override budget with
     # SPARK_GRAFT_QUIET_WAIT_SEC=0 to start immediately.
+    # The wait gates on BOTH the fraction label and the absolute host-speed
+    # floor (at_speed): r5 try 2 showed a uniformly throttled host passes
+    # the fraction gate while inflating the suite ~1.3× — see cpu_window.py.
     wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "240"))
     t_wait0 = time.time()
+
+    def _entry_ok(p):
+        return classify(p) != "degraded" and at_speed(p)
+
     probe_before = probe()
-    log(f"cpu probe (before): {probe_before} → {classify(probe_before)}")
-    while (classify(probe_before) == "degraded"
+    log(f"cpu probe (before): {probe_before} → {classify(probe_before)}"
+        f"{'' if at_speed(probe_before) else ' (host throttled)'}")
+    while (not _entry_ok(probe_before)
            and time.time() - t_wait0 < wait_budget):
-        log(f"degraded entry window — waiting for quiet "
+        log(f"degraded/throttled entry window — waiting for quiet "
             f"({wait_budget - (time.time() - t_wait0):.0f}s budget left)")
         time.sleep(15)
         probe_before = probe()
-        log(f"cpu probe (before): {probe_before} → {classify(probe_before)}")
+        log(f"cpu probe (before): {probe_before} → {classify(probe_before)}"
+            f"{'' if at_speed(probe_before) else ' (host throttled)'}")
 
     sf = sf_from_dir(sf_dir)
     n_pages = max(2000, int(6_000_000 * sf))

@@ -10,7 +10,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 from tools.bench_compare import window_of  # noqa: E402
-from tools.cpu_window import classify  # noqa: E402
+from tools.cpu_window import HOST_SPEED_FLOOR, at_speed, classify  # noqa: E402
 
 QUIET_PROBE = {"workers": 32, "single_iters_per_sec": 20_000_000,
                "nway_mean_frac": 0.95, "nway_min_frac": 0.9, "spread": 1.1}
@@ -30,6 +30,22 @@ def test_classify_quiet_degraded_unknown():
     assert classify({**QUIET_PROBE, "nway_mean_frac": 0.7}) == "degraded"
     assert classify(None) == "unknown"
     assert classify({}) == "unknown"
+
+
+def test_at_speed_floor_gates_minting_not_labels():
+    # at_speed is the MINT gate (bench entry wait + watcher): a uniformly
+    # throttled host passes the fraction gate but must not start a timed
+    # record run. classify() labels are unchanged — historical artifacts
+    # keep their windows.
+    parity = {**QUIET_PROBE, "single_iters_per_sec": 29_900_000}
+    throttled = {**QUIET_PROBE, "single_iters_per_sec": 19_900_000}
+    assert at_speed(parity)
+    assert not at_speed(throttled)
+    assert classify(throttled) == "quiet"  # label unchanged by the floor
+    assert not at_speed(None) and not at_speed({})
+    # floor sits between the observed populations: parity windows probed
+    # 27.0–30.2M, throttles 18.8–19.9M
+    assert 19_900_000 < HOST_SPEED_FLOOR <= 27_000_000
 
 
 def _bench_line(total, probes=None, window=None):
