@@ -1,10 +1,11 @@
 #!/bin/bash
 # Watch for a probed-quiet host window and fire one full bench run in it.
-# Loops: standalone probe every 45s; on QUIET, launch bench.py (which
-# re-probes at entry and exit). Stops on the first run whose bracketing
-# probes BOTH read quiet, or after MAX_TRIES runs. Artifacts land in
-# /tmp/bench_r5_auto{N}.json|.log; a lockfile guards against concurrent
-# heavy work contaminating the timed region.
+# Loops: standalone probe every 45s (cpu_window.py exits 0 only on quiet
+# AND at host-speed parity — the uniform-throttle floor); on a hit, launch
+# bench.py (which re-probes at entry and exit). Stops on the first run
+# whose bracketing probes BOTH read quiet AND at-speed, or after MAX_TRIES
+# runs. Artifacts land in /tmp/bench_r5_auto{N}.json|.log; a lockfile
+# guards against concurrent heavy work contaminating the timed region.
 cd /root/repo || exit 1
 MAX_TRIES=${MAX_TRIES:-6}
 n=0
@@ -15,14 +16,18 @@ while [ "$n" -lt "$MAX_TRIES" ]; do
     SPARK_GRAFT_QUIET_WAIT_SEC=120 python bench.py \
       > "/tmp/bench_r5_auto${n}.json" 2> "/tmp/bench_r5_auto${n}.log"
     rm -f /tmp/bench_running.lock
-    python3 - "$n" <<'EOF'
+    if python3 - "$n" <<'EOF'
 import json, sys
+sys.path.insert(0, "/root/repo")
+from tools.cpu_window import at_speed
 n = sys.argv[1]
 d = json.load(open(f"/tmp/bench_r5_auto{n}.json"))
-print(f"auto{n}", d["window"], d["value"], d["pipeline_docs_per_sec"], flush=True)
+parity = at_speed(d.get("cpu_probe_before")) and at_speed(d.get("cpu_probe_after"))
+print(f"auto{n}", d["window"], "parity" if parity else "throttled",
+      d["value"], d["pipeline_docs_per_sec"], flush=True)
+sys.exit(0 if (d["window"] == "quiet" and parity) else 1)
 EOF
-    grep -q '"window": "quiet"' "/tmp/bench_r5_auto${n}.json" && {
-      echo "QUIET_RUN_LANDED auto${n}"; break; }
+    then echo "QUIET_RUN_LANDED auto${n}"; break; fi
   fi
   sleep 45
 done
