@@ -9,11 +9,23 @@ Deterministic seed; comparison reuses the verify tool's canonicalization
 exactly a failure the driver's hash gate could hit on other data.
 """
 
+import os
 import random
 import sys
 
 import duckdb
 import pytest
+
+
+def _fuzz_seeds(default: list[int]) -> list[int]:
+    """Fixture seed lists, overridable for fresh-seed validation runs:
+    SPARK_GRAFT_FUZZ_SEEDS="7,1913" re-fuzzes every parametrized corpus
+    under new seeds without editing the committed defaults (the committed
+    lists stay the deterministic CI baseline)."""
+    env = os.environ.get("SPARK_GRAFT_FUZZ_SEEDS")
+    if not env:
+        return default
+    return [int(s) for s in env.split(",") if s.strip()]
 
 sys.path.insert(0, "/root/repo")
 from tools.verify_queries import canon  # noqa: E402
@@ -144,7 +156,7 @@ QUERIES_UNDER_TEST = [
 ]
 
 
-@pytest.fixture(scope="module", params=[99, 1234, 777])
+@pytest.fixture(scope="module", params=_fuzz_seeds([99, 1234, 777]))
 def diff_env(request, spark, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"diffdocs{request.param}")
     rows = _random_docs(seed=request.param)
@@ -200,7 +212,7 @@ def _random_events(n=2000, seed=41):
     return rows
 
 
-@pytest.fixture(scope="module", params=[41, 4242])
+@pytest.fixture(scope="module", params=_fuzz_seeds([41, 4242]))
 def diff_events(request, spark, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"diffevents{request.param}")
     rows = _random_events(seed=request.param)
