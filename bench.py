@@ -98,6 +98,9 @@ HEADLINE_QUERIES = [
     # round-5 exact flips (driver window): the portable fixed-point langid
     # confusion and the FULL portable pipeline DAG over documents
     "langid_scores", "pages_pipeline",
+    # round-5 late additions: per-host boilerplate line removal and top-K
+    # vocabulary coverage (both exact-oracle, driver window)
+    "boilerplate_lines", "vocab_coverage",
 ]
 
 

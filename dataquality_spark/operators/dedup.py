@@ -626,6 +626,56 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "url",
                     .alias(text_col)))
 
 
+def remove_boilerplate_lines(df: DataFrame, id_col: str = "url",
+                             text_col: str = "text", group_col: str = "host",
+                             sep: str = "\n", min_docs: int = 3) -> DataFrame:
+    """CCNet-style per-group boilerplate line removal (Wenzek et al. 2020
+    §3.1 applies the idea per shard; RefinedWeb/OSCAR apply it per host):
+    a non-blank line that occurs in at least ``min_docs`` DISTINCT
+    documents of the same group (host/domain) is boilerplate — navigation,
+    cookie banners, footers — and is removed from EVERY document of that
+    group; each document's text is rebuilt from its surviving lines in
+    original order joined by ``sep``. Differs from ``dedup_paragraphs``
+    (global first-occurrence wins, one survivor) in both scope (per-group)
+    and policy (NO occurrence survives once the line is boilerplate).
+
+    Returns (id_col, text_col) with the cleaned text ('' when every line
+    was boilerplate or the text was null). ``sep`` is a Java regex for the
+    split and a literal for the re-join — pass a literal-safe separator.
+
+    Scale shape: lines cross the wire as 64-bit hashes only. The
+    distinct-documents count is two engineered aggregations — a distinct
+    on (group, hash, id), whose key includes the id and therefore spreads
+    even a viral banner across reducers, then a map-side-combined count
+    per (group, hash) — so a line duplicated across millions of pages of
+    one host never pins a reducer. The boilerplate set (bounded by
+    DISTINCT offending lines, not occurrences) anti-joins back against
+    the hashed lines; AQE may broadcast it when small. Reconstruction is
+    one groupBy(id) with ``sort_array`` — full documents are never
+    shuffled, only their surviving lines once.
+    """
+    lines = (df.select(
+        F.col(id_col).alias("_id"), F.col(group_col).alias("_g"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"))
+        .where(F.trim("_line") != ""))
+    hashed = lines.withColumn("_h", F.xxhash64("_line"))
+    doc_hits = hashed.select("_g", "_h", "_id").distinct()
+    boiler = (doc_hits.groupBy("_g", "_h")
+              .agg(F.count(F.lit(1)).alias("_nd"))
+              .where(F.col("_nd") >= min_docs)
+              .select("_g", "_h"))
+    kept = hashed.join(boiler, ["_g", "_h"], "left_anti")
+    recon = (kept.groupBy("_id")
+             .agg(F.concat_ws(sep, F.transform(
+                 F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                 lambda x: x["_line"])).alias("_clean_text")))
+    return (df.select(F.col(id_col).alias("_id")).distinct()
+            .join(recon, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("_clean_text", F.lit(""))
+                    .alias(text_col)))
+
+
 def suggest_salt_buckets(df: DataFrame, key: Column | str,
                          sample_fraction: float = 0.01,
                          target_rows_per_task: int = 1_000_000,

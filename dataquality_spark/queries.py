@@ -1977,6 +1977,125 @@ GROUP BY d.doc_id
 """
 
 
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-host boilerplate removal (Wenzek et al. 2020 §3.1;
+    RefinedWeb applies it per host): a non-blank line occurring in >= 2
+    DISTINCT documents of the same ``source`` is boilerplate and is removed
+    from EVERY document of that source; text is rebuilt in original line
+    order — BYTE-EXACT oracle on the rebuilt strings. Distinct from
+    `paragraph_dedup` in scope (per-group, not corpus-global) and policy
+    (no occurrence survives, vs first-occurrence-wins). The documents table
+    is a flat word stream, so ' a ' serves as the line separator to
+    exercise split → per-group distinct-doc count → anti-join → in-order
+    rebuild; semantics are separator-independent."""
+    from dataquality_spark.operators.dedup import remove_boilerplate_lines
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_lines(
+        docs, id_col="doc_id", text_col="text", group_col="source",
+        sep=" a ", min_docs=2).withColumnRenamed("text", "clean_text")
+
+
+# NULL-unsafe equality ON PURPOSE in the anti-join mirror (b.source = …):
+# Spark's left_anti never matches a NULL group key, so lines from
+# NULL-source docs are always kept on both engines. The rebuild orders by
+# (pos, line) — Spark's array_sort on struct(_pos, _line) — so duplicate
+# ids (fuzz) stay deterministic.
+_SQL_BOILERPLATE_LINES = """
+WITH p AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' a ')) AS line,
+         unnest(range(1, len(string_split(text, ' a ')) + 1)) AS pos
+  FROM documents
+), np AS (
+  SELECT * FROM p WHERE trim(line) <> ''
+), b AS (
+  SELECT source, line FROM (
+    SELECT source, line, count(*) AS nd
+    FROM (SELECT DISTINCT source, line, doc_id FROM np)
+    GROUP BY source, line
+  ) WHERE nd >= 2
+), k AS (
+  SELECT np.doc_id, np.line, np.pos
+  FROM np LEFT JOIN b ON np.source = b.source AND np.line = b.line
+  WHERE b.line IS NULL
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.line, ' a ' ORDER BY k.pos, k.line), '')
+         AS clean_text
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN k USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+# Top-K corpus vocabulary for the coverage query. The K-boundary tie-break
+# must be a total order BOTH engines compute identically: plain string
+# ORDER BY is UTF-16 code-unit order in the JVM but UTF-8 byte order in
+# DuckDB (they diverge between non-BMP and [U+E000,U+FFFF] codepoints), so
+# ties break on hex(utf8_bytes) — pure-ASCII hex strings sort identically
+# everywhere.
+_VOCAB_COVERAGE_K = 24
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document vocabulary coverage / OOV rate against the corpus's own
+    top-K word vocabulary — the tokenizer-health / domain-shift signal a
+    training-data pipeline tracks per snapshot (high OOV ⇒ junk, wrong
+    language, or tokenizer mismatch). Two-pass: (1) one map-side-combined
+    token aggregation + TakeOrderedAndProject heap-K builds the vocabulary
+    (bounded K-row driver collect, the repo's BPE-vocab pattern); (2)
+    scoring is a ZERO-SHUFFLE codegen projection — the K words ride into
+    the plan as an array literal and per-doc membership is an array HOF,
+    never an explode + join back (a per-doc stat must not cost a
+    corpus-wide shuffle at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    top = (docs.select(F.explode(TX.words_col(F.col("text"))).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(),
+                    F.hex(F.col("w").cast("binary")).asc())
+           .limit(_VOCAB_COVERAGE_K).collect())
+    vocab = sorted(r["w"] for r in top)
+    ws = TX.words_col(F.col("text"))
+    total = F.size(ws).cast("long")
+    if vocab:
+        varr = F.array(*[F.lit(w) for w in vocab])
+        inv = F.size(F.filter(
+            ws, lambda t: F.array_contains(varr, t))).cast("long")
+    else:
+        inv = F.lit(0).cast("long")
+    return docs.select(
+        "doc_id", total.alias("total_tokens"),
+        inv.alias("in_vocab_tokens"),
+        F.round(F.when(total > 0, inv.cast("double") / total)
+                .otherwise(F.lit(0.0)), 6).alias("coverage"))
+
+
+_SQL_VOCAB_WORDS = ("list_filter(regexp_split_to_array("
+                    "coalesce(text, ''), '\\s+'), x -> x <> '')")
+
+_SQL_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_VOCAB_WORDS}) AS t FROM documents
+), v AS (
+  SELECT list(w) AS vw FROM (
+    SELECT t AS w, count(*) AS n FROM tok GROUP BY t
+    ORDER BY n DESC, hex(encode(t)) ASC LIMIT {_VOCAB_COVERAGE_K}
+  )
+), w AS (
+  SELECT doc_id, {_SQL_VOCAB_WORDS} AS ws FROM documents
+)
+SELECT doc_id,
+       len(ws)::BIGINT AS total_tokens,
+       len(list_filter(ws, x -> list_contains(v.vw, x)))::BIGINT
+         AS in_vocab_tokens,
+       round(CASE WHEN len(ws) > 0
+             THEN len(list_filter(ws, x -> list_contains(v.vw, x)))::DOUBLE
+                  / len(ws)
+             ELSE 0 END, 6) AS coverage
+FROM w, v
+"""
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X-1 normalization chain as a full-text exact oracle: lower → strip
     1-4 digit runs → keep alnum+space → collapse whitespace (reference
@@ -4665,7 +4784,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     # --- sole/primary §2 witnesses kept under every-round verification ---
     "null_metrics": q_null_metrics,
-    "iqr_group_score": q_iqr_group_score,
+    # r5 rotation (late session): boilerplate_lines (new CCNet-style
+    # per-host line removal, byte-exact oracle) takes iqr_group_score's
+    # slot — G-2 keeps iqr_outliers in the sweep and iqr_group_score is
+    # driver-green in BOTH r3 and r4.
+    "boilerplate_lines": q_boilerplate_lines,
     "chronology": q_chronology,
     "rowsum_check": q_rowsum_check,
     "lev_bestmatch": q_lev_bestmatch,
@@ -4676,7 +4799,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": q_normalize_text,
     "scrub_documents": q_scrub_documents,
     "neardup_components": q_neardup_components,
-    "token_budget_sample": q_token_budget_sample,
+    # r5 rotation (late session): vocab_coverage (new top-K-vocabulary /
+    # OOV-rate signal, exact oracle with the portable hex tie-break) takes
+    # token_budget_sample's slot — that extension row keeps four sibling
+    # driver-green witnesses (mixture_rebalance, decontaminate,
+    # stratified_split, incremental_dedup) and is double-green r3+r4.
+    "vocab_coverage": q_vocab_coverage,
     "fuzzy_dedup_decisions": q_fuzzy_dedup_decisions,
     # --- rotated INTO the window in round 5: the six r4 late additions,
     # the only exact oracles with no driver-green row through r4 ---
@@ -4687,6 +4815,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "langid_confusion": q_langid_confusion,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
+    "iqr_group_score": q_iqr_group_score,
+    "token_budget_sample": q_token_budget_sample,
     "range_join": q_range_join,
     "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4767,6 +4897,8 @@ ORACLE_SQL: dict[str, str] = {
     "first_last_event": _SQL_FIRST_LAST,
     "c1_neardup_rescue": _SQL_C1_RESCUE,
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
+    "boilerplate_lines": _SQL_BOILERPLATE_LINES,
+    "vocab_coverage": _SQL_VOCAB_COVERAGE,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
     "hash_split": _SQL_HASH_SPLIT,

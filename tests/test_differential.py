@@ -153,6 +153,14 @@ QUERIES_UNDER_TEST = [
     # [ \t\n\x0B\f\r] class), the stop-list CASE with the İ shim, both
     # fixed-point model gates, and the dedup winner window
     "langid_scores", "pages_pipeline",
+    # round-5 late additions: per-group boilerplate removal (byte-exact
+    # rebuild under WS-edged lines, NULL text/source, exact cross-doc
+    # duplicates — the kind-2 duplicated docs land in the same src{i%7}
+    # group so the nd>=2 filter fires; null-unsafe group equality pinned
+    # on both engines) and top-K vocab coverage (the ~32-word fuzz
+    # vocabulary exceeds K=24, so the boundary tie-break — count ties
+    # resolved by hex(utf8 bytes), incl. the non-BMP token — is live)
+    "boilerplate_lines", "vocab_coverage",
 ]
 
 
