@@ -101,6 +101,9 @@ HEADLINE_QUERIES = [
     # round-5 late additions: per-host boilerplate line removal and top-K
     # vocabulary coverage (both exact-oracle, driver window)
     "boilerplate_lines", "vocab_coverage",
+    # round-5 evaluation-harness additions: pairwise rule kappa, encoding-
+    # anomaly stats, classifier-vs-gate PR sweep (exact-oracle, window)
+    "rule_agreement", "mojibake_stats", "filter_pr_curve",
 ]
 
 

@@ -135,15 +135,18 @@ _DOC_MIN_WORDS, _DOC_MAX_WORDS = 20, 1000
 _DOC_STOP_MIN = 0.04
 
 
-def q_heuristic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+def _gate_flags(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """The gate's per-row stats + flags over a (doc_id, text, lang, …)
+    frame, preserving ``carry`` columns — lets composers (filter_pr_curve)
+    evaluate the gate and their own per-row columns in ONE projection of
+    one scan instead of re-scanning and joining the corpus to itself."""
     # NULL text ≡ empty text on BOTH engines (deterministic gate fail with
     # all-zero stats): without this, Spark's words_col coalesces while
     # DuckDB propagates NULL through every stat — NULL-text fuzz-found
     docs = docs.withColumn("text", F.coalesce("text", F.lit("")))
     words = TX.words_col(F.col("text"))
     d = docs.select(
-        "doc_id",
+        "doc_id", *carry,
         TX.word_count(words).alias("word_cnt"),
         F.round(TX.mean_word_len(words), 6).alias("mean_wlen"),
         F.round(TX.symbol_word_ratio(F.col("text"), words), 6).alias("symbol_frac"),
@@ -153,7 +156,8 @@ def q_heuristic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("stop_frac"),
     )
     return d.select(
-        "doc_id", "word_cnt", "mean_wlen", "symbol_frac", "stop_frac",
+        "doc_id", *carry,
+        "word_cnt", "mean_wlen", "symbol_frac", "stop_frac",
         (F.col("word_cnt") >= _DOC_MIN_WORDS).alias("r_min_words"),
         (F.col("word_cnt") <= _DOC_MAX_WORDS).alias("r_max_words"),
         F.col("mean_wlen").between(3.0, 10.0).alias("r_mean_wlen"),
@@ -167,6 +171,10 @@ def q_heuristic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stop_frac") >= _DOC_STOP_MIN)
         ).alias("keep"),
     )
+
+
+def q_heuristic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gate_flags(_t(spark, sf_dir, "documents"))
 
 
 _SQL_HEURISTIC_GATE = f"""
@@ -2093,6 +2101,236 @@ SELECT doc_id,
                   / len(ws)
              ELSE 0 END, 6) AS coverage
 FROM w, v
+"""
+
+
+# Pairwise Cohen's kappa between the five gate rules (the rule-redundancy
+# report a filter pipeline reads before pruning rules: kappa ≈ 1 ⇒ the
+# pair is interchangeable, kappa ≈ 0 ⇒ independent signals). Integer
+# cross-multiplication keeps every intermediate exact — the only division
+# happens once, at the end, on exact int64 operands:
+#   kappa = (n·agree − pe_num) / (n² − pe_num),
+#   agree = n11 + n00,  pe_num = a1·b1 + a0·b0.
+# Envelope: n² needs n < ~3.0e9 docs per snapshot in int64; beyond that
+# widen both engines to DECIMAL (Spark decimal(38,0) / DuckDB HUGEINT) —
+# same shape, stated here like the DSIR odds-ratio envelope.
+_KAPPA_RULES = ["r_max_words", "r_mean_wlen", "r_min_words",
+                "r_stopword", "r_symbol"]
+_KAPPA_PAIRS = [(a, b) for i, a in enumerate(_KAPPA_RULES)
+                for b in _KAPPA_RULES[i + 1:]]
+
+
+def q_rule_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for every pair of heuristic gate rules — ONE
+    aggregation pass over the gate output (15 conditional sums), then the
+    10 pair rows are unpacked from the single aggregate row with an
+    explode; nothing after the agg grows with the corpus. NULL flags
+    (empty/NULL text) count as FAIL via the shared coalesce(flag, false)
+    convention (same as `rule_ablation`)."""
+    g = q_heuristic_gate(spark, sf_dir)
+    p = {r: F.coalesce(F.col(r), F.lit(False)) for r in _KAPPA_RULES}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for r in _KAPPA_RULES:
+        aggs.append(F.sum(p[r].cast("long")).alias(f"n1_{r}"))
+    for a, b in _KAPPA_PAIRS:
+        aggs.append(F.sum((p[a] & p[b]).cast("long")).alias(f"n11_{a}_{b}"))
+    t = g.agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for a, b in _KAPPA_PAIRS:
+        n11 = F.col(f"n11_{a}_{b}")
+        a1, b1 = F.col(f"n1_{a}"), F.col(f"n1_{b}")
+        agree = n11 + (n - a1 - b1 + n11)
+        pe_num = a1 * b1 + (n - a1) * (n - b1)
+        den = n * n - pe_num
+        rows.append(F.struct(
+            F.lit(a).alias("rule_a"), F.lit(b).alias("rule_b"),
+            agree.alias("n_agree"),
+            F.round(agree / F.nullif(n, F.lit(0).cast("long")), 6)
+            .alias("po"),
+            F.round((n * agree - pe_num)
+                    / F.nullif(den, F.lit(0).cast("long")), 6)
+            .alias("kappa")))
+    return (t.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+            .orderBy("rule_a", "rule_b"))
+
+
+def _sql_rule_agreement() -> str:
+    p = {r: f"coalesce({r}, false)" for r in _KAPPA_RULES}
+    sums = ["count(*)::BIGINT AS n"]
+    for r in _KAPPA_RULES:
+        sums.append(f"count(*) FILTER (WHERE {p[r]})::BIGINT AS n1_{r}")
+    for a, b in _KAPPA_PAIRS:
+        sums.append(f"count(*) FILTER (WHERE {p[a]} AND {p[b]})::BIGINT"
+                    f" AS n11_{a}_{b}")
+    branches = []
+    for a, b in _KAPPA_PAIRS:
+        agree = f"(n11_{a}_{b} + (n - n1_{a} - n1_{b} + n11_{a}_{b}))"
+        pe = f"(n1_{a} * n1_{b} + (n - n1_{a}) * (n - n1_{b}))"
+        branches.append(f"""
+  SELECT '{a}' AS rule_a, '{b}' AS rule_b,
+         {agree} AS n_agree,
+         round({agree}::DOUBLE / nullif(n, 0), 6) AS po,
+         round((n * {agree} - {pe})::DOUBLE
+               / nullif(n * n - {pe}, 0), 6) AS kappa
+  FROM t""")
+    return (f"WITH g AS ({_SQL_HEURISTIC_GATE}),\n"
+            f"t AS (SELECT {', '.join(sums)} FROM g)\n"
+            + "\n  UNION ALL".join(branches)
+            + "\nORDER BY rule_a, rule_b")
+
+
+# Encoding-anomaly (mojibake) detection: the crawl-hygiene signal CCNet
+# filters on before language ID. Three independent counters, all literal
+# or \x-escape regexes that Java regex and RE2 parse identically:
+#  - UTF-8-decoded-as-cp1252 signatures ('é' → 'Ã©', ''' → 'â€™', …) as a
+#    PREFIX-FREE literal alternation (no alternative is a prefix of
+#    another, so leftmost-first matching counts the same on both engines);
+#  - U+FFFD replacement characters (a decoder already gave up upstream);
+#  - C0 control bytes that are not whitespace (\x00-\x08, \x0E-\x1F, DEL).
+_MOJI_SIGS = ["Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã§",
+              "â€™", "â€œ", "â€“", "â€”", "Â·", "Â»", "Â«", "Â°"]
+_MOJI_RX = "|".join(_MOJI_SIGS)
+_CTRL_RX = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+_REPL_CHAR = "�"
+
+
+def q_mojibake_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoding-anomaly counters + a suspect flag. Pure
+    zero-shuffle codegen projection (three JVM-side regexp_count calls,
+    no UDF, no explode) — the per-row cost is O(len(text)) and the plan
+    is a bare scan+project at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_moji = F.regexp_count(t, F.lit(_MOJI_RX)).cast("long")
+    n_repl = F.regexp_count(t, F.lit(_REPL_CHAR)).cast("long")
+    n_ctrl = F.regexp_count(t, F.lit(_CTRL_RX)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_moji.alias("n_moji"), n_repl.alias("n_repl"),
+        n_ctrl.alias("n_ctrl"),
+        ((n_moji > 0) | (n_repl > 0) | (n_ctrl > 0)).alias("suspect"))
+
+
+_SQL_MOJIBAKE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '{_MOJI_RX}'))::BIGINT
+           AS n_moji,
+         len(regexp_extract_all(coalesce(text, ''), '{_REPL_CHAR}'))::BIGINT
+           AS n_repl,
+         len(regexp_extract_all(coalesce(text, ''), '{_CTRL_RX}'))::BIGINT
+           AS n_ctrl
+  FROM documents
+)
+SELECT doc_id, n_moji, n_repl, n_ctrl,
+       (n_moji > 0 OR n_repl > 0 OR n_ctrl > 0) AS suspect
+FROM d
+"""
+
+
+# Precision/recall/F1 threshold sweep of the fixed-point quality
+# classifier against the heuristic gate's keep/drop label — the
+# calibration curve read before choosing a production keep threshold.
+# The int64 logit is binned into at most 64 fixed-width buckets BEFORE
+# any ordering, so the cumulative window runs over ≤64 rows no matter the
+# corpus size (the groupBy is map-side combined); every tp/fp/fn is an
+# exact int64 and each ratio is a single terminal division. The bin
+# clamp also absorbs the trunc-vs-floor integer-division difference:
+# quotients disagree only when negative, and every negative quotient
+# clamps to bin 0 on both engines.
+_PR_BIN_W = 1 << 27
+_PR_BIN_OFF = 1 << 32
+_PR_BINS = 64
+
+
+def q_filter_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataquality_spark.models import quality
+    udf = quality.make_quality_logit_udf(
+        spark, quality.load_quantized_artifact())
+    docs = _t(spark, sf_dir, "documents")
+    # ONE projection of one scan computes both the classifier logit and
+    # the gate label — score and label are per-row functions of the same
+    # row, so a self-join of two corpus-wide derivations (a full shuffle
+    # at scale) would be pure waste; the oracle joins relationally, which
+    # is equivalent because doc_id is the key
+    scored = docs.select(
+        "doc_id", "text", "lang",
+        udf("text")["logit_num"].alias("logit"))
+    j = _gate_flags(scored, carry=("logit",)).select(
+        "logit", F.coalesce("keep", F.lit(False)).alias("label"))
+    b = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(_PR_BINS - 1).cast("long"),
+                F.expr(f"(logit + {_PR_BIN_OFF}) DIV {_PR_BIN_W}")))
+    per = (j.select(b.alias("bin"), "label")
+           .groupBy("bin")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("label").cast("long")).alias("n_pos")))
+    wcum = (Window.orderBy(F.col("bin").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = (Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    cum = per.select(
+        "bin", "n_docs", "n_pos",
+        F.sum("n_pos").over(wcum).alias("tp"),
+        F.sum("n_docs").over(wcum).alias("pred_pos"),
+        F.sum("n_pos").over(wall).alias("total_pos"))
+    zero = F.lit(0).cast("long")
+    return cum.select(
+        "bin",
+        (F.col("bin") * F.lit(_PR_BIN_W).cast("long")
+         - F.lit(_PR_BIN_OFF).cast("long")).alias("threshold_logit"),
+        "n_docs", "n_pos", "tp",
+        (F.col("pred_pos") - F.col("tp")).alias("fp"),
+        (F.col("total_pos") - F.col("tp")).alias("fn"),
+        F.round(F.col("tp") / F.nullif(F.col("pred_pos"), zero), 6)
+        .alias("precision"),
+        F.round(F.col("tp") / F.nullif(F.col("total_pos"), zero), 6)
+        .alias("recall"),
+        F.round((F.lit(2).cast("long") * F.col("tp"))
+                / F.nullif(F.col("pred_pos") + F.col("total_pos"), zero), 6)
+        .alias("f1"),
+    ).orderBy("bin")
+
+
+def _sql_filter_pr_curve() -> str:
+    """Oracle: the SAME generated fixed-point classifier SQL (weights read
+    from the committed artifact — cannot drift from the UDF) joined to the
+    gate, binned and cumulated with explicit window frames."""
+    return f"""
+WITH c AS ({_sql_quality_classifier()}),
+g AS ({_SQL_HEURISTIC_GATE}),
+j AS (
+  SELECT c.logit_num AS logit, coalesce(g.keep, false) AS label
+  FROM c JOIN g USING (doc_id)
+),
+pb AS (
+  SELECT greatest(0, least({_PR_BINS - 1},
+             (logit + {_PR_BIN_OFF}) // {_PR_BIN_W}))::BIGINT AS bin,
+         count(*)::BIGINT AS n_docs,
+         count(*) FILTER (WHERE label)::BIGINT AS n_pos
+  FROM j GROUP BY 1
+),
+cum AS (
+  SELECT bin, n_docs, n_pos,
+         (sum(n_pos) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS tp,
+         (sum(n_docs) OVER (ORDER BY bin DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+            AS pred_pos,
+         (sum(n_pos) OVER ())::BIGINT AS total_pos
+  FROM pb
+)
+SELECT bin,
+       (bin * {_PR_BIN_W} - {_PR_BIN_OFF})::BIGINT AS threshold_logit,
+       n_docs, n_pos, tp,
+       pred_pos - tp AS fp,
+       total_pos - tp AS fn,
+       round(tp::DOUBLE / nullif(pred_pos, 0), 6) AS "precision",
+       round(tp::DOUBLE / nullif(total_pos, 0), 6) AS recall,
+       round(2 * tp::DOUBLE / nullif(pred_pos + total_pos, 0), 6) AS f1
+FROM cum ORDER BY bin
 """
 
 
@@ -4758,10 +4996,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_split": q_stratified_split,
     "semdedup": q_semdedup,
     "domain_blocklist": q_domain_blocklist,
-    "domain_stats": q_domain_stats,
+    # r5 rotation (late session): rule_agreement (new pairwise Cohen's
+    # kappa over the gate rules, int64-exact cross-multiplication) takes
+    # domain_stats's slot — domain_stats is driver-green in r4, is an
+    # extension row with sibling witnesses in-window, and was one of
+    # VERDICT r4's named rotation candidates; it stays in the sweep.
+    "rule_agreement": q_rule_agreement,
     "corpus_ngrams": q_corpus_ngrams,
     "length_percentiles": q_length_percentiles,
-    "snapshot_diff": q_snapshot_diff,
+    # r5 rotation (late session): mojibake_stats (new encoding-anomaly
+    # projection: prefix-free cp1252 signature alternation + U+FFFD +
+    # C0-control counts, zero-shuffle) takes snapshot_diff's slot —
+    # driver-green r4, a VERDICT-named candidate, stays in the sweep.
+    "mojibake_stats": q_mojibake_stats,
     "substring_dedup": q_substring_dedup,
     "mixture_rebalance": q_mixture_rebalance,
     "sb_lm_score": q_sb_lm_score,
@@ -4798,7 +5045,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c1_neardup_rescue": q_c1_neardup_rescue,
     "normalize_text": q_normalize_text,
     "scrub_documents": q_scrub_documents,
-    "neardup_components": q_neardup_components,
+    # r5 rotation (late session): filter_pr_curve (new classifier-vs-gate
+    # precision/recall/F1 threshold sweep, ≤64 fixed bins, int64-exact
+    # counts) takes neardup_components's slot — components is driver-green
+    # in r3 AND r4 and the composition stays driver-checked in-window via
+    # fuzzy_dedup_decisions (LSH→components→winners) every round.
+    "filter_pr_curve": q_filter_pr_curve,
     # r5 rotation (late session): vocab_coverage (new top-K-vocabulary /
     # OOV-rate signal, exact oracle with the portable hex tie-break) takes
     # token_budget_sample's slot — that extension row keeps four sibling
@@ -4817,6 +5069,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "iqr_group_score": q_iqr_group_score,
     "token_budget_sample": q_token_budget_sample,
+    "neardup_components": q_neardup_components,
+    "domain_stats": q_domain_stats,
+    "snapshot_diff": q_snapshot_diff,
     "range_join": q_range_join,
     "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
@@ -4899,6 +5154,9 @@ ORACLE_SQL: dict[str, str] = {
     "iqr_group_score": _SQL_IQR_GROUP_SCORE,
     "boilerplate_lines": _SQL_BOILERPLATE_LINES,
     "vocab_coverage": _SQL_VOCAB_COVERAGE,
+    "rule_agreement": _sql_rule_agreement(),
+    "mojibake_stats": _SQL_MOJIBAKE,
+    "filter_pr_curve": _sql_filter_pr_curve(),
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
     "hash_split": _SQL_HASH_SPLIT,

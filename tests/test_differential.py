@@ -63,6 +63,15 @@ WORDS = ["the", "данные", "café", "cafe\u0301", "nai\u0308ve",
          "\u0130stanbul",    # dotted capital I: lower() differs by engine/locale
          "ab" * 150,        # 300-char token: langid MAX_CHARS truncates mid-word
          "\u2167",           # Roman numeral VIII: Unicode Nl, never \\d
+         # mojibake / encoding-damage probes (round 5): cp1252 signature
+         # sequences inside tokens, bare replacement chars, and a C0
+         # control + DEL embedded mid-token \u2014 live for mojibake_stats'
+         # prefix-free alternation and the \x-escape class parity, and
+         # they flow through every other fuzzed text expression too
+         "caf\u00c3\u00a9",          # 'caf\u00e9' decoded as cp1252 \u2192 'caf\u00c3\u00a9'
+         "don\u00e2\u20ac\u2122t",   # ''' mojibake: 'don\u00e2\u20ac\u2122t'
+         "\ufffd\ufffdok",           # replacement chars from a lossy decode
+         "bad\x07\x1fb\x7fyte",      # BEL + US + DEL controls mid-token
          ]
 WS = [" ", "  ", "\t", "\n", " \n ", " ", "\r\n"]
 
@@ -161,6 +170,13 @@ QUERIES_UNDER_TEST = [
     # vocabulary exceeds K=24, so the boundary tie-break — count ties
     # resolved by hex(utf8 bytes), incl. the non-BMP token — is live)
     "boilerplate_lines", "vocab_coverage",
+    # round-5 evaluation-harness additions: pairwise rule kappa (the
+    # int64 cross-multiplication over the fuzzed gate flags, NULL-flag
+    # coalesce), encoding-anomaly counts (the mojibake WORDS tokens make
+    # all three counters live; prefix-free alternation + \x-class
+    # parity), and the classifier-vs-gate PR sweep (fixed-point logit
+    # binning with the trunc-vs-floor clamp, fuzzed labels from the gate)
+    "rule_agreement", "mojibake_stats", "filter_pr_curve",
 ]
 
 
