@@ -104,6 +104,8 @@ HEADLINE_QUERIES = [
     # round-5 evaluation-harness additions: pairwise rule kappa, encoding-
     # anomaly stats, classifier-vs-gate PR sweep (exact-oracle, window)
     "rule_agreement", "mojibake_stats", "filter_pr_curve",
+    # round-5: per-document sliding-window chunking (byte-exact, window)
+    "chunk_windows",
 ]
 
 

@@ -109,3 +109,50 @@ def pack_sequences(df: DataFrame, ctx_len: int, size_col: str = "n_tokens",
     return (out.withColumn("chunk_id",
                            F.expr(f"offset div {int(ctx_len)}"))
             .withColumn("chunk_pos", F.col("offset") % ctx_len))
+
+
+def chunk_tokens(df: DataFrame, tokens_col: str, chunk_len: int,
+                 stride: int, id_cols: list[str] | None = None,
+                 sep: str = " ") -> DataFrame:
+    """Per-document sliding-window chunking (the retrieval/BERT-style
+    counterpart to ``pack_sequences``' cross-document concat): the token
+    array is cut into windows of ``chunk_len`` tokens starting every
+    ``stride`` tokens (``chunk_len > stride`` ⇒ adjacent chunks overlap by
+    ``chunk_len - stride``). Window k covers tokens
+    ``[k·stride, k·stride + chunk_len)``; a document with n tokens yields
+    ``floor((n-1)/stride) + 1`` chunks (0 for an empty/NULL token array),
+    so the final windows may be short but every token lands in ≥1 chunk.
+
+    Returns ``id_cols + (chunk_idx, n_tokens, chunk_text)`` where
+    ``chunk_text`` is the window's tokens joined by ``sep``.
+
+    Scale shape: ZERO shuffle — one projection computes the chunk count,
+    one generator (posexplode over a ``sequence``) emits the window
+    starts, and each window is a ``slice`` of the already-materialized
+    token array. Output grows ~n/stride rows per document, which is the
+    operator's contract (a chunk table), not a plan artifact; nothing is
+    keyed, nothing is exchanged, and the per-row work is O(chunk_len).
+    """
+    if id_cols is None:
+        id_cols = ["doc_id"]
+    if stride <= 0 or chunk_len <= 0:
+        raise ValueError("chunk_len and stride must be positive")
+    toks = F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
+    # integer div, not floor(double /): same exactness rule as
+    # pack_sequences — (n-1) is non-negative under the nc>0 guard, where
+    # truncating div ≡ floor
+    base = (df.select(*id_cols, toks.alias("_toks"))
+            .withColumn("_nc", F.when(F.size("_toks") <= 0, F.lit(0))
+                        .otherwise(F.expr(
+                            f"(size(_toks) - 1) div {int(stride)}")
+                            .cast("int") + F.lit(1))))
+    starts = base.select(
+        *id_cols, "_toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1))
+        .alias("chunk_idx", "_k")).where(F.col("_nc") > 0)
+    win = F.slice(F.col("_toks"),
+                  F.col("chunk_idx") * int(stride) + 1, int(chunk_len))
+    return starts.select(
+        *id_cols, F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(win).cast("long").alias("n_tokens"),
+        F.concat_ws(sep, win).alias("chunk_text"))

@@ -2104,6 +2104,47 @@ FROM w, v
 """
 
 
+# Per-document sliding-window chunking over the shared words tokenization:
+# the retrieval/BERT-style counterpart to sequence_pack's cross-document
+# concat. 32-token windows every 24 tokens (8-token overlap) over the
+# documents corpus (10–99 words ⇒ 1–5 chunks/doc).
+_CHUNK_LEN, _CHUNK_STRIDE = 32, 24
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk table — BYTE-EXACT oracle on the re-joined
+    window text. Zero-shuffle: projection + generator + array slice; the
+    ~n/stride row growth IS the contract (a chunk table), not a plan
+    artifact."""
+    from dataquality_spark.operators.packing import chunk_tokens
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.words_col(F.col("text")).alias("ws"))
+    return chunk_tokens(toks, "ws", _CHUNK_LEN, _CHUNK_STRIDE)
+
+
+_SQL_CHUNK_WINDOWS = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_VOCAB_WORDS} AS ws FROM documents
+), c AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) = 0 THEN 0
+              ELSE (len(ws) - 1) // {_CHUNK_STRIDE} + 1 END AS nc
+  FROM w
+)
+, k AS (
+  SELECT doc_id, ws, unnest(range(0, nc)) AS ki FROM c
+)
+SELECT doc_id, ki::BIGINT AS chunk_idx,
+       len(list_slice(ws, ki * {_CHUNK_STRIDE} + 1,
+                      ki * {_CHUNK_STRIDE} + {_CHUNK_LEN}))::BIGINT
+         AS n_tokens,
+       array_to_string(list_slice(ws, ki * {_CHUNK_STRIDE} + 1,
+                                  ki * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' ')
+         AS chunk_text
+FROM k
+"""
+
+
 # Pairwise Cohen's kappa between the five gate rules (the rule-redundancy
 # report a filter pipeline reads before pruning rules: kappa ≈ 1 ⇒ the
 # pair is interchangeable, kappa ≈ 0 ⇒ independent signals). Integer
@@ -5003,7 +5044,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # VERDICT r4's named rotation candidates; it stays in the sweep.
     "rule_agreement": q_rule_agreement,
     "corpus_ngrams": q_corpus_ngrams,
-    "length_percentiles": q_length_percentiles,
+    # r5 rotation (late session): chunk_windows (new per-document
+    # sliding-window chunking, byte-exact oracle) takes
+    # length_percentiles's slot — driver-green r4, a VERDICT-named
+    # rotation candidate, stays in the sweep.
+    "chunk_windows": q_chunk_windows,
     # r5 rotation (late session): mojibake_stats (new encoding-anomaly
     # projection: prefix-free cp1252 signature alternation + U+FFFD +
     # C0-control counts, zero-shuffle) takes snapshot_diff's slot —
@@ -5072,6 +5117,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_components": q_neardup_components,
     "domain_stats": q_domain_stats,
     "snapshot_diff": q_snapshot_diff,
+    "length_percentiles": q_length_percentiles,
     "range_join": q_range_join,
     "repetition_topngram": q_repetition_topngram,
     "paragraph_dedup": q_paragraph_dedup,
@@ -5157,6 +5203,7 @@ ORACLE_SQL: dict[str, str] = {
     "rule_agreement": _sql_rule_agreement(),
     "mojibake_stats": _SQL_MOJIBAKE,
     "filter_pr_curve": _sql_filter_pr_curve(),
+    "chunk_windows": _SQL_CHUNK_WINDOWS,
     "null_assoc_screen": _SQL_NULL_ASSOC,
     "assoc_stats": _SQL_ASSOC_STATS,
     "hash_split": _SQL_HASH_SPLIT,

@@ -177,6 +177,10 @@ QUERIES_UNDER_TEST = [
     # parity), and the classifier-vs-gate PR sweep (fixed-point logit
     # binning with the trunc-vs-floor clamp, fuzzed labels from the gate)
     "rule_agreement", "mojibake_stats", "filter_pr_curve",
+    # sliding-window chunking: byte-exact window text under the fuzz WS
+    # variety (split parity), empty/NULL/1-token docs (0- and 1-chunk
+    # edges), and the 300-char token (slice boundaries mid-oversized-word)
+    "chunk_windows",
 ]
 
 

@@ -124,6 +124,64 @@ def test_rule_agreement_constant_rules_hit_the_degenerate_cases(
             assert r.po == 0.0 and r.kappa == 0.0, r
 
 
+# --- chunk_tokens (sliding-window chunking) --------------------------------
+
+def _chunks(spark, toks_rows, **kw):
+    from dataquality_spark.operators.packing import chunk_tokens
+    df = spark.createDataFrame(toks_rows, "doc_id long, ws array<string>")
+    out = chunk_tokens(df, "ws", **kw).collect()
+    return sorted((r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+                  for r in out)
+
+
+def test_chunk_windows_overlap_and_tail(spark):
+    toks = [str(i) for i in range(10)]
+    got = _chunks(spark, [(1, toks)], chunk_len=4, stride=3)
+    # starts 0,3,6,9 — every token covered, adjacent chunks overlap by 1,
+    # final window short (1 token)
+    assert got == [
+        (1, 0, 4, "0 1 2 3"),
+        (1, 1, 4, "3 4 5 6"),
+        (1, 2, 4, "6 7 8 9"),
+        (1, 3, 1, "9"),
+    ]
+
+
+def test_chunk_windows_edges(spark):
+    rows = [
+        (1, []),                 # empty -> no chunks
+        (2, None),               # NULL  -> no chunks
+        (3, ["only"]),           # single token -> one 1-token chunk
+        (4, ["a", "b", "c"]),    # n == chunk_len exactly -> one chunk
+    ]
+    got = _chunks(spark, rows, chunk_len=3, stride=3)
+    assert got == [(3, 0, 1, "only"), (4, 0, 3, "a b c")]
+
+
+def test_chunk_windows_every_token_covered(spark):
+    # coverage property: union of [k*stride, k*stride+len) spans [0, n)
+    from dataquality_spark.operators.packing import chunk_tokens
+    import pyspark.sql.functions as F
+    n = 53
+    df = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(n)])], "doc_id long, ws array<string>")
+    out = chunk_tokens(df, "ws", chunk_len=8, stride=5).collect()
+    covered = set()
+    for r in out:
+        covered.update(r.chunk_text.split(" "))
+        assert r.n_tokens == len(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(n)}
+
+
+def test_chunk_windows_rejects_bad_params(spark):
+    from dataquality_spark.operators.packing import chunk_tokens
+    df = spark.createDataFrame([(1, ["a"])], "doc_id long, ws array<string>")
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "ws", chunk_len=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "ws", chunk_len=4, stride=0)
+
+
 # --- filter_pr_curve -------------------------------------------------------
 
 def test_pr_curve_matches_pure_python_recount(spark, sf0001):
