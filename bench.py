@@ -106,6 +106,10 @@ HEADLINE_QUERIES = [
     "rule_agreement", "mojibake_stats", "filter_pr_curve",
     # round-5: per-document sliding-window chunking (byte-exact, window)
     "chunk_windows",
+    # round-5 late additions: Gopher A1.2 repetition signals (zero-shuffle
+    # HOF projection) and the host-level link graph (outlink UDF +
+    # canonical_url + one hash-agg shuffle) — both exact-oracle, window
+    "gopher_repetition", "link_graph",
 ]
 
 

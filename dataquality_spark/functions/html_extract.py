@@ -154,3 +154,39 @@ def outlinks(df: DataFrame, html_col: str = "html",
     return (df.select(url_col,
                       F.explode(extract_links_udf()(F.col(html_col)))
                       .alias("outlink")))
+
+
+def link_graph_stats(links: DataFrame, src_host_col: str = "src_host",
+                     outlink_col: str = "outlink") -> DataFrame:
+    """Host-level link-graph aggregation over harvested (source host,
+    outlink) pairs — the crawl-frontier / host-reputation signal (UT1-style
+    blocklists and crawl prioritizers both key on it): canonicalize each
+    outlink (`functions/text.canonical_url`), key by its target host, and
+    emit per host the total in-link count, the number of distinct linking
+    source hosts, and the self-link count.
+
+    Scale shape: the pairs are projected down to TWO short strings before
+    the one hash-aggregate shuffle (bodies/HTML never cross the wire), the
+    plain counts combine map-side, `countDistinct` runs Spark's standard
+    two-phase expand, and the output is bounded at one row per distinct
+    host. Host keys are the classic skew case (a few giant hosts dominate
+    a crawl) — partial aggregation absorbs count skew and AQE's skew-join
+    split covers the distinct phase, the same posture as the salted dedup
+    groupBy (`operators/dedup.py`).
+
+    The reference's nearest surface is whole-column membership/uniqueness
+    (`/root/reference/dimensions/completeness/c3.py`,
+    `dimensions/integrity/i1.py`); this is its web-graph analogue over the
+    outlink harvest that `outlinks` + `canonical_url` already provide.
+    """
+    from dataquality_spark.functions.text import canonical_url
+
+    curl = canonical_url(F.col(outlink_col))
+    tgt = F.regexp_extract(curl, r"^[^:/?#]+://([^/?#]*)", 1)
+    pairs = links.select(F.col(src_host_col).alias("_src"),
+                         tgt.alias("host"))
+    return (pairs.groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("in_links"),
+                 F.countDistinct("_src").cast("long").alias("src_hosts"),
+                 F.sum(F.when(F.col("_src") == F.col("host"), 1)
+                       .otherwise(0)).cast("long").alias("self_links")))

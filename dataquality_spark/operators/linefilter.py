@@ -140,3 +140,102 @@ def gopher_line_stats(
         (bullet_frac <= F.lit(max_bullet_frac)).alias("r_bullet"),
         (ellipsis_frac <= F.lit(max_ellipsis_frac)).alias("r_ellipsis"),
     )
+
+
+# Gopher A1.2 repetition-removal thresholds (Rae et al. 2021 Table A1),
+# expressed as exact rationals (num, den) so the PASS flags can compare
+# cross-multiplied integers instead of floats.
+GOPHER_MAX_DUP_LINE_FRAC = (3, 10)        # duplicate line fraction <= 0.30
+GOPHER_MAX_DUP_PARA_FRAC = (3, 10)        # duplicate paragraph fraction <= 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = (1, 5)    # dup line char fraction   <= 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = (1, 5)    # dup para char fraction   <= 0.20
+
+
+def _nonblank(arr: Column) -> Column:
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def _char_sum(arr: Column) -> Column:
+    """Total characters across an array of strings, as int64."""
+    return F.aggregate(arr, F.lit(0).cast("long"),
+                       lambda acc, x: acc + F.length(x))
+
+
+def gopher_repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+    para_sep: str = "\n\n",
+    max_dup_line_frac: tuple[int, int] = GOPHER_MAX_DUP_LINE_FRAC,
+    max_dup_para_frac: tuple[int, int] = GOPHER_MAX_DUP_PARA_FRAC,
+    max_dup_line_char_frac: tuple[int, int] = GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+    max_dup_para_char_frac: tuple[int, int] = GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+) -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021 §A1.2, Table A1):
+    per document, duplicate-line / duplicate-paragraph counts and the
+    character mass inside those duplicates, plus the four PASS flags
+    (dup-line and dup-paragraph fraction <= 30%, dup-line-char and
+    dup-paragraph-char fraction <= 20%; True = PASS, the
+    rules/heuristics.py flag convention).
+
+    Definition pinned for exactness (the paper's prose is ambiguous about
+    whether the first occurrence counts): a "duplicate" is every
+    occurrence of a value BEYOND its first, so
+    ``dup = size(arr) - size(array_distinct(arr))`` and
+    ``dup_chars = char_sum(arr) - char_sum(array_distinct(arr))`` — the
+    identity form: integer-exact, no hashing, no sort, derivable from the
+    same array primitives on any engine.
+
+    All eight emitted measures are int64 COUNTS, never fractions; the
+    flags compare cross-multiplied integers (``dup * den <= num * total``
+    for threshold num/den), so the operator is float-free end to end —
+    the strongest form of the repo's float-free oracle rule.
+
+    Scale shape: ZERO shuffle — one narrow projection over the scan using
+    higher-order functions only (split / filter / array_distinct /
+    aggregate), no UDF, so whole-stage codegen keeps it JVM-side and at
+    100 TB it costs exactly one pass, composing with column pruning and
+    any downstream filter pushdown on the flags.
+
+    Lines are ``line_sep`` splits with blank entries dropped (a paragraph
+    boundary rendered as ``line_sep + line_sep`` would otherwise read as
+    a phantom empty line); blank paragraphs are likewise dropped. A
+    NULL/empty page emits zero totals and passes all four rules (0 <= 0).
+
+    The reference's repetition surface is whole-column duplicate
+    detection (`/root/reference/dimensions/completeness/c3.py`); this is
+    the within-document web-curation analogue its rule registry implies.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _nonblank(F.split(text, line_sep))
+    paras = _nonblank(F.split(text, para_sep))
+
+    n_l = F.size(lines).cast("long")
+    d_l = (F.size(lines) - F.size(F.array_distinct(lines))).cast("long")
+    c_l = _char_sum(lines)
+    dc_l = c_l - _char_sum(F.array_distinct(lines))
+    n_p = F.size(paras).cast("long")
+    d_p = (F.size(paras) - F.size(F.array_distinct(paras))).cast("long")
+    c_p = _char_sum(paras)
+    dc_p = c_p - _char_sum(F.array_distinct(paras))
+
+    def _pass(dup: Column, total: Column, frac: tuple[int, int]) -> Column:
+        num, den = frac
+        return dup * F.lit(den) <= total * F.lit(num)
+
+    return df.select(
+        F.col(id_col),
+        n_l.alias("total_lines"),
+        d_l.alias("dup_lines"),
+        c_l.alias("line_chars"),
+        dc_l.alias("dup_line_chars"),
+        n_p.alias("total_paras"),
+        d_p.alias("dup_paras"),
+        c_p.alias("para_chars"),
+        dc_p.alias("dup_para_chars"),
+        _pass(d_l, n_l, max_dup_line_frac).alias("r_dup_line"),
+        _pass(d_p, n_p, max_dup_para_frac).alias("r_dup_para"),
+        _pass(dc_l, c_l, max_dup_line_char_frac).alias("r_dup_line_chars"),
+        _pass(dc_p, c_p, max_dup_para_char_frac).alias("r_dup_para_chars"),
+    )

@@ -3098,6 +3098,65 @@ SELECT doc_id, text AS extracted FROM documents
 """
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph over planted outlinks, EXACT oracle: each doc
+    gets 1 + doc_id%4 anchor tags to target hosts t{(doc_id+3j)%23}
+    .example.com — written in hostile form (upper-case scheme/host,
+    explicit :443, utm_source param, #fragment) so the REAL extraction +
+    canonicalization chain (HTMLParser outlink UDF → canonical_url) has to
+    normalize them — plus a self-link on every 7th doc. The oracle derives
+    the same (src_host, tgt_host) pairs directly from doc_id arithmetic:
+    any link the UDF drops or mangles breaks the count match. Output is
+    per-host in-link / distinct-source-host / self-link counts, all int64.
+    Scale: one ArrowEvalPython extraction pass, pairs projected to two
+    short strings before the single hash-agg shuffle (see
+    functions/html_extract.link_graph_stats)."""
+    from dataquality_spark.functions.html_extract import (
+        link_graph_stats, outlinks)
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    src_host = F.concat(F.lit("s"), (d % 17).cast("string"),
+                        F.lit(".example.com"))
+
+    def anchor(j: int) -> Column:
+        url = F.concat(F.lit("HTTPS://T"), ((d + 3 * j) % 23).cast("string"),
+                       F.lit(f".Example.COM:443/p{j}?utm_source=x#frag"))
+        return F.when(d % 4 >= j - 1,
+                      F.concat(F.lit('<a href="'), url, F.lit('">x</a>'))
+                      ).otherwise(F.lit(""))
+
+    self_a = F.when(
+        d % 7 == 0,
+        F.concat(F.lit('<a href="https://'), src_host,
+                 F.lit('/home?utm_source=y#top">me</a>'))).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><body>"), anchor(1), anchor(2), anchor(3),
+                    anchor(4), self_a,
+                    F.lit("<p>t</p></body></html>")).cast("binary")
+    pages = docs.select(src_host.alias("src_host"), html.alias("html"))
+    links = outlinks(pages, html_col="html", url_col="src_host")
+    return link_graph_stats(links, src_host_col="src_host",
+                            outlink_col="outlink")
+
+
+_SQL_LINK_GRAPH = """
+WITH links AS (
+  SELECT 's' || (d.doc_id % 17) || '.example.com' AS src_host,
+         't' || ((d.doc_id + 3 * j.j) % 23) || '.example.com' AS tgt_host
+  FROM documents d, (SELECT unnest([1, 2, 3, 4]) AS j) j
+  WHERE j.j <= 1 + d.doc_id % 4
+  UNION ALL
+  SELECT 's' || (doc_id % 17) || '.example.com',
+         's' || (doc_id % 17) || '.example.com'
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT tgt_host AS host,
+       count(*)::bigint AS in_links,
+       count(DISTINCT src_host)::bigint AS src_hosts,
+       (count(*) FILTER (WHERE src_host = tgt_host))::bigint AS self_links
+FROM links GROUP BY tgt_host
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q51 — real image decode + feature extraction (rows-only: binary pixel
 # payloads are not SQL-constructible; the codecs and kernels are
@@ -4648,6 +4707,109 @@ FROM a
 """
 
 
+def _repetition_pages(pages: DataFrame) -> DataFrame:
+    """Plant deterministic repetition into the decorated pages (the
+    pii_stats planting pattern): append ``doc_id % 4`` copies of existing
+    lines chosen by doc_id arithmetic, then re-join with a per-boundary
+    separator that turns every fifth boundary into a paragraph break
+    (``\\n\\n``) — so the repetition operator sees real duplicate lines,
+    real duplicate paragraphs, and a non-trivial line/paragraph nesting,
+    all byte-identical on both engines."""
+    d = F.col("doc_id")
+    base = F.split(F.col("text"), "\n")
+    nb = F.size(base)
+    cand = F.transform(
+        F.sequence(F.lit(1), F.lit(3)),
+        lambda j: F.element_at(base, ((d + j * 5) % nb + 1).cast("int")))
+    arr = F.concat(base, F.slice(cand, 1, (d % 4).cast("int")))
+    parts = F.transform(
+        arr,
+        lambda x, i: F.when(i == F.lit(0), x).otherwise(F.concat(
+            F.when((d * 7 + i) % 5 == 0,
+                   F.lit("\n\n")).otherwise(F.lit("\n")), x)))
+    return pages.select("doc_id", F.array_join(parts, "").alias("text"))
+
+
+_SQL_REPETITION_PAGES = f"""
+  SELECT doc_id,
+         string_agg(CASE WHEN pos = 1 THEN line
+                         ELSE (CASE WHEN (doc_id * 7 + pos - 1) % 5 = 0
+                                    THEN chr(10) || chr(10)
+                                    ELSE chr(10) END) || line END,
+                    '' ORDER BY pos) AS text
+  FROM (
+    SELECT doc_id, unnest(arr) AS line,
+           unnest(range(1, len(arr) + 1)) AS pos
+    FROM (
+      SELECT doc_id,
+             base || (list_transform([1, 2, 3], j ->
+                 base[((doc_id + j * 5) % len(base))::int + 1])
+               )[1:(doc_id % 4)::int] AS arr
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS base
+            FROM ({_SQL_DECORATED_PAGES}))
+    )
+  ) GROUP BY doc_id
+"""
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1.2 repetition-removal signals (Rae et al. 2021 Table A1):
+    per-document duplicate-line / duplicate-paragraph counts, the character
+    mass inside those duplicates, and the four PASS flags (30%/30%/20%/20%).
+    Runs on pages with PLANTED deterministic repetition (copies of existing
+    lines + every-fifth-boundary paragraph breaks, from doc_id arithmetic)
+    so the signal is non-trivial. INT64-EXACT end to end: the eight
+    measures are counts via the size−size(distinct) identity, the flags are
+    cross-multiplied integer comparisons — no division, no rounding shim.
+    Spark side is one zero-shuffle HOF projection (no UDF); the oracle
+    recomputes the same identities with DuckDB list functions."""
+    from dataquality_spark.operators.linefilter import gopher_repetition_stats
+    pages = _repetition_pages(
+        _decorated_pages(_t(spark, sf_dir, "documents")))
+    return gopher_repetition_stats(pages)
+
+
+_SQL_GOPHER_REPETITION = f"""
+WITH t AS ({_SQL_REPETITION_PAGES}),
+s AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+         list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '')
+           AS ps
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         len(ls)::bigint AS total_lines,
+         (len(ls) - len(list_distinct(ls)))::bigint AS dup_lines,
+         coalesce(list_aggregate(list_transform(ls, x -> length(x)),
+                                 'sum'), 0)::bigint AS line_chars,
+         (coalesce(list_aggregate(list_transform(ls, x -> length(x)),
+                                  'sum'), 0)
+          - coalesce(list_aggregate(list_transform(list_distinct(ls),
+                                                   x -> length(x)),
+                                    'sum'), 0))::bigint AS dup_line_chars,
+         len(ps)::bigint AS total_paras,
+         (len(ps) - len(list_distinct(ps)))::bigint AS dup_paras,
+         coalesce(list_aggregate(list_transform(ps, x -> length(x)),
+                                 'sum'), 0)::bigint AS para_chars,
+         (coalesce(list_aggregate(list_transform(ps, x -> length(x)),
+                                  'sum'), 0)
+          - coalesce(list_aggregate(list_transform(list_distinct(ps),
+                                                   x -> length(x)),
+                                    'sum'), 0))::bigint AS dup_para_chars
+  FROM s
+)
+SELECT doc_id, total_lines, dup_lines, line_chars, dup_line_chars,
+       total_paras, dup_paras, para_chars, dup_para_chars,
+       dup_lines * 10 <= total_lines * 3 AS r_dup_line,
+       dup_paras * 10 <= total_paras * 3 AS r_dup_para,
+       dup_line_chars * 5 <= line_chars AS r_dup_line_chars,
+       dup_para_chars * 5 <= para_chars AS r_dup_para_chars
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q82 — PII/toxicity prevalence stats: the measurement side of the scrub
 # stage (what fraction of the corpus carries each PII class, per document).
@@ -5083,9 +5245,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_lines": q_boilerplate_lines,
     "chronology": q_chronology,
     "rowsum_check": q_rowsum_check,
-    "lev_bestmatch": q_lev_bestmatch,
+    # r5 rotation (late session): link_graph (new host-level link-graph
+    # aggregation — real HTMLParser outlink UDF + canonical_url over
+    # hostile planted anchors, int64 exact) takes lev_bestmatch's slot —
+    # the J-3/J-4/X-6 witness is driver-green in ALL FOUR prior rounds
+    # and stays in the local sweep.
+    "link_graph": q_link_graph,
     "numeric_coercion": q_numeric_coercion,
-    "corr_pairs_filter": q_corr_pairs_filter,
+    # r5 rotation (late session): gopher_repetition (new Gopher A1.2
+    # duplicate-line/paragraph + duplicate-char signals over planted
+    # repetition, int64-exact, zero-shuffle) takes corr_pairs_filter's
+    # slot — G-7's witness is driver-green in ALL FOUR prior rounds
+    # (r1–r4), the most-verified entry in the window, and stays in the
+    # local sweep.
+    "gopher_repetition": q_gopher_repetition,
     "date_format_check": q_date_format_check,
     "c1_neardup_rescue": q_c1_neardup_rescue,
     "normalize_text": q_normalize_text,
@@ -5112,6 +5285,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "langid_confusion": q_langid_confusion,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
+    "lev_bestmatch": q_lev_bestmatch,
+    "corr_pairs_filter": q_corr_pairs_filter,
     "iqr_group_score": q_iqr_group_score,
     "token_budget_sample": q_token_budget_sample,
     "neardup_components": q_neardup_components,
@@ -5227,6 +5402,7 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "quality_buckets": _SQL_QUALITY_BUCKETS,
     "html_extract": _SQL_HTML_EXTRACT,
+    "link_graph": _SQL_LINK_GRAPH,
     "sequence_pack": _SQL_SEQUENCE_PACK,
     "zorder_key": _sql_zorder(),
     "unicode_nfc": _SQL_UNICODE_NFC,
@@ -5247,6 +5423,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_drift": _SQL_TOKEN_DRIFT,
     "c4_line_filter": _SQL_C4_LINE_FILTER,
     "gopher_line_flags": _SQL_GOPHER_LINE_FLAGS,
+    "gopher_repetition": _SQL_GOPHER_REPETITION,
     "simhash_buckets": _SQL_SIMHASH_BUCKETS,
     "simhash_neardup": _SQL_SIMHASH_NEARDUP,
     "embedding_neardup": _sql_embedding_neardup(),

@@ -181,6 +181,13 @@ QUERIES_UNDER_TEST = [
     # variety (split parity), empty/NULL/1-token docs (0- and 1-chunk
     # edges), and the 300-char token (slice boundaries mid-oversized-word)
     "chunk_windows",
+    # Gopher A1.2 repetition signals: the planted-duplicate line/paragraph
+    # builder (element_at modulo indexing, slice-of-candidates, per-
+    # boundary \n vs \n\n separator) and the size−size(distinct)/char-sum
+    # identities run over fuzzed pages whose WORDS embed newlines and NBSP
+    # — extra phantom lines and blank-line filtering are live on both
+    # engines, and all four cross-multiplied integer flags get exercised
+    "gopher_repetition",
 ]
 
 

@@ -93,3 +93,39 @@ def test_extract_links(spark):
                                "url string, html binary")
     got = [(r["url"], r["outlink"]) for r in outlinks(df).collect()]
     assert got == [("u1", "/a"), ("u1", "http://b.ex/p?x=1&y=2"), ("u1", "/c")]
+
+
+def test_link_graph_stats_hand_counts(spark):
+    from dataquality_spark.functions.html_extract import link_graph_stats
+    rows = [
+        # two sources link to T.example.com in hostile forms that must
+        # canonicalize to the same host (case, :443, utm, fragment)
+        ("a.ex", "HTTPS://T.Example.COM:443/p1?utm_source=x#f"),
+        ("a.ex", "https://t.example.com/p2"),
+        ("b.ex", "https://t.example.com/p3?gclid=1"),
+        # self-link: b.ex -> b.ex
+        ("b.ex", "https://b.ex/home"),
+        # http :80 default-port strip
+        ("a.ex", "HTTP://U.EX:80/q"),
+    ]
+    df = spark.createDataFrame(rows, "src_host string, outlink string")
+    got = {r["host"]: (r["in_links"], r["src_hosts"], r["self_links"])
+           for r in link_graph_stats(df).collect()}
+    assert got == {
+        "t.example.com": (3, 2, 0),
+        "b.ex": (1, 1, 1),
+        "u.ex": (1, 1, 0),
+    }
+
+
+def test_link_graph_end_to_end_extraction(spark):
+    from dataquality_spark.functions.html_extract import (
+        link_graph_stats, outlinks)
+    html = (b'<html><body><a href="HTTPS://X.EX:443/a?utm_source=1#z">1</a>'
+            b'<a href="https://x.ex/b">2</a>'
+            b'<a href="https://me.ex/self">3</a></body></html>')
+    df = spark.createDataFrame([("me.ex", html)], "src_host string, html binary")
+    links = outlinks(df, html_col="html", url_col="src_host")
+    got = {r["host"]: (r["in_links"], r["src_hosts"], r["self_links"])
+           for r in link_graph_stats(links).collect()}
+    assert got == {"x.ex": (2, 1, 0), "me.ex": (1, 1, 1)}

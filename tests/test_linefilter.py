@@ -117,3 +117,70 @@ def test_c4_is_shuffle_free(spark):
     df = c4_line_filter(_one(spark, GOOD))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- Gopher A1.2 repetition-removal signals -------------------------------
+
+from dataquality_spark.operators.linefilter import gopher_repetition_stats
+
+
+def _rep(spark, text):
+    return gopher_repetition_stats(_one(spark, text)).collect()[0]
+
+
+def test_repetition_hand_counts(spark):
+    # 2 paragraphs; para 2 repeats para 1's first line twice.
+    page = "aaa\nbb\n\naaa\naaa\ncc"
+    r = _rep(spark, page)
+    # lines (blankless): aaa bb aaa aaa cc -> 5 total, 2 dups (aaa x2 extra)
+    assert (r.total_lines, r.dup_lines) == (5, 2)
+    # chars: 3+2+3+3+2 = 13 total; distinct {aaa,bb,cc} = 7 -> 6 dup chars
+    assert (r.line_chars, r.dup_line_chars) == (13, 6)
+    # paragraphs: "aaa\nbb" and "aaa\naaa\ncc" -> 2 distinct, 0 dups
+    assert (r.total_paras, r.dup_paras) == (2, 0)
+    assert (r.para_chars, r.dup_para_chars) == (6 + 10, 0)
+    # flags: dup_line 2/5 = 40% > 30% FAIL; dup_line_chars 6/13 > 20% FAIL
+    assert r.r_dup_line is False and r.r_dup_line_chars is False
+    assert r.r_dup_para is True and r.r_dup_para_chars is True
+
+
+def test_repetition_duplicate_paragraphs(spark):
+    page = "x y\n\nx y\n\nz."
+    r = _rep(spark, page)
+    assert (r.total_paras, r.dup_paras) == (3, 1)
+    assert (r.para_chars, r.dup_para_chars) == (8, 3)
+    # dup_paras 1/3 > 30% (cross-mult: 1*10=10 > 3*3=9) -> FAIL
+    assert r.r_dup_para is False
+    # dup_para_chars 3/8 > 20% -> FAIL
+    assert r.r_dup_para_chars is False
+    # lines: x y / x y / z. -> 1 dup of 3 -> 10 > 9 FAIL
+    assert (r.total_lines, r.dup_lines) == (3, 1)
+    assert r.r_dup_line is False
+
+
+def test_repetition_exact_threshold_boundary(spark):
+    # 10 lines, 3 duplicates -> exactly 30%: 3*10 == 10*3 -> PASS (<=)
+    # chars: total 15, dup 3 -> exactly 20%: 3*5 == 15 -> PASS (<=)
+    lines = ["abc", "de", "fg", "hi", "x", "y", "z", "x", "y", "z"]
+    r = _rep(spark, "\n".join(lines))
+    assert (r.total_lines, r.dup_lines) == (10, 3)
+    assert r.r_dup_line is True
+    assert (r.line_chars, r.dup_line_chars) == (15, 3)
+    assert r.dup_line_chars * 5 == r.line_chars
+    assert r.r_dup_line_chars is True
+
+
+def test_repetition_null_and_empty_page(spark):
+    for page in (None, ""):
+        r = _rep(spark, page)
+        assert (r.total_lines, r.total_paras) == (0, 0)
+        assert (r.dup_lines, r.dup_paras) == (0, 0)
+        assert (r.line_chars, r.para_chars) == (0, 0)
+        assert all([r.r_dup_line, r.r_dup_para,
+                    r.r_dup_line_chars, r.r_dup_para_chars])
+
+
+def test_repetition_is_shuffle_free(spark):
+    df = gopher_repetition_stats(_one(spark, "a\nb\n\na"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
