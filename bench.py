@@ -110,6 +110,9 @@ HEADLINE_QUERIES = [
     # HOF projection) and the host-level link graph (outlink UDF +
     # canonical_url + one hash-agg shuffle) — both exact-oracle, window
     "gopher_repetition", "link_graph",
+    # round-5 late addition: URL-shape quality signals (zero-shuffle
+    # codegen projection over events) — exact-oracle, window
+    "url_features",
 ]
 
 

@@ -320,3 +320,60 @@ def canonical_url(url):
     rest = F.regexp_replace(rest, r"/+$", "")
     return F.when(scheme == "", u).otherwise(
         F.concat(scheme, F.lit("://"), host, rest))
+
+
+# URL-shape quality thresholds (RefinedWeb §3.1-style URL filtering;
+# UT1-style lists handle the host side via domain_blocklist). Exact
+# rationals for cross-multiplied integer flags.
+URL_MAX_PATH_DEPTH = 8          # deeper paths are calendar/faceted traps
+URL_MAX_PATH_DIGIT_FRAC = (1, 2)  # >50% digits in the path = id-shaped
+URL_MAX_QUERY_PARAMS = 4
+_SESSION_PARAM_RX = r"(?i)(^|&)(sid|sessionid|phpsessid|jsessionid)="
+
+
+def url_shape_features(url: Column) -> dict[str, Column]:
+    """URL-shape signals for crawl-quality filtering (the URL side of a
+    RefinedWeb-style filter; compose on `canonical_url` output so ports /
+    case / tracking params / fragments are already normalized):
+
+    - ``host``, ``host_depth`` (dot-separated label count)
+    - ``path_depth`` (non-empty ``/`` segments), ``path_len``,
+      ``path_digits`` (digit characters in the path)
+    - ``n_params`` (``&``-separated query parameters)
+    - four PASS flags (True = PASS, the rules/heuristics.py convention):
+      ``r_path_depth`` (<= 8), ``r_path_digits`` (digit fraction <= 1/2,
+      cross-multiplied integers — no division), ``r_params`` (<= 4),
+      ``r_session`` (no session-id parameter: sid / sessionid /
+      phpsessid / jsessionid, case-insensitive)
+
+    Every measure is an int64 count or a boolean — float-free — and the
+    whole thing is one zero-shuffle codegen projection (regexp_extract /
+    split / filter HOFs, no UDF): at 100 TB it rides the scan for free and
+    the flags push into downstream filters.
+    """
+    u = F.coalesce(url, F.lit(""))
+    host = F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1)
+    path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    path_depth = F.size(F.filter(F.split(path, "/"),
+                                 lambda s: s != F.lit(""))).cast("long")
+    path_len = F.length(path).cast("long")
+    path_digits = F.length(
+        F.regexp_replace(path, r"[^0-9]", "")).cast("long")
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))).cast("long")
+    host_depth = F.when(host == "", F.lit(0)).otherwise(
+        F.size(F.split(host, r"\."))).cast("long")
+    num, den = URL_MAX_PATH_DIGIT_FRAC
+    return {
+        "host": host,
+        "host_depth": host_depth,
+        "path_depth": path_depth,
+        "path_len": path_len,
+        "path_digits": path_digits,
+        "n_params": n_params,
+        "r_path_depth": path_depth <= F.lit(URL_MAX_PATH_DEPTH),
+        "r_path_digits": path_digits * F.lit(den) <= path_len * F.lit(num),
+        "r_params": n_params <= F.lit(URL_MAX_QUERY_PARAMS),
+        "r_session": ~query.rlike(_SESSION_PARAM_RX),
+    }

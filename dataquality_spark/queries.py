@@ -1830,6 +1830,82 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape quality signals (RefinedWeb §3.1-style URL filtering):
+    host label depth, path depth/length/digit mass, query-param count, and
+    four PASS flags (path depth <= 8, path digit fraction <= 1/2 by integer
+    cross-multiplication, <= 4 params, no session-id param). Both engines
+    synthesize the SAME six URL shapes per event row — calendar-trap deep
+    path, id-shaped digit path of varying width (so the digit-fraction
+    flag flips within the corpus), session param, param overflow, normal
+    blog path, bare root — and compare all eleven columns exactly (int64
+    counts + booleans, float-free). ZERO shuffle: one codegen projection,
+    no UDF (functions/text.url_shape_features)."""
+    from dataquality_spark.functions.text import url_shape_features
+    ev = _t(spark, sf_dir, "events")
+    e, uid = F.col("event_id"), F.col("user_id")
+    host = F.concat(F.lit("s"), (uid % 50).cast("string"),
+                    F.when(e % 2 == 0, F.lit(".m")).otherwise(F.lit("")),
+                    F.lit(".example.com"))
+    tail = (F.when(e % 6 == 0, F.lit("/a/b/c/d/e/f/g/h/i/p9"))
+            .when(e % 6 == 1, F.concat(
+                F.lit("/item/"),
+                (e * 1000003 % 1000000000).cast("string")))
+            .when(e % 6 == 2, F.lit("/?sid=abc123"))
+            .when(e % 6 == 3, F.lit("/q?a=1&b=2&c=3&d=4&e=5"))
+            .when(e % 6 == 4, F.concat(F.lit("/blog/post-"),
+                                       e.cast("string")))
+            .otherwise(F.lit("")))
+    feats = url_shape_features(F.concat(F.lit("https://"), host, tail))
+    return ev.select("event_id",
+                     *[c.alias(k) for k, c in feats.items()])
+
+
+_SQL_URL_FEATURES = r"""
+WITH m AS (
+  SELECT event_id,
+         'https://s' || (user_id % 50)::varchar ||
+         (CASE WHEN event_id % 2 = 0 THEN '.m' ELSE '' END) ||
+         '.example.com' ||
+         CASE event_id % 6
+           WHEN 0 THEN '/a/b/c/d/e/f/g/h/i/p9'
+           WHEN 1 THEN '/item/' || ((event_id * 1000003) % 1000000000)::varchar
+           WHEN 2 THEN '/?sid=abc123'
+           WHEN 3 THEN '/q?a=1&b=2&c=3&d=4&e=5'
+           WHEN 4 THEN '/blog/post-' || event_id::varchar
+           ELSE '' END AS u
+  FROM events
+), f AS (
+  SELECT event_id,
+         regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1) AS host,
+         regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(u, '\?([^#]*)', 1) AS query
+  FROM m
+), g AS (
+  SELECT event_id, host,
+         (CASE WHEN host = '' THEN 0
+               ELSE len(string_split(host, '.')) END)::bigint AS host_depth,
+         len(list_filter(string_split(path, '/'),
+                         s -> s <> ''))::bigint AS path_depth,
+         length(path)::bigint AS path_len,
+         length(regexp_replace(path, '[^0-9]', '', 'g'))::bigint
+           AS path_digits,
+         (CASE WHEN query = '' THEN 0
+               ELSE len(string_split(query, '&')) END)::bigint AS n_params,
+         query
+  FROM f
+)
+SELECT event_id, host, host_depth, path_depth, path_len, path_digits,
+       n_params,
+       path_depth <= 8 AS r_path_depth,
+       path_digits * 2 <= path_len AS r_path_digits,
+       n_params <= 4 AS r_params,
+       NOT regexp_matches(query,
+           '(?i)(^|&)(sid|sessionid|phpsessid|jsessionid)=') AS r_session
+FROM g
+"""
+
+
 def q_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (crawl-key normalization before URL-level
     dedup): both engines synthesize the SAME messy URL per event row —
@@ -5237,7 +5313,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup": q_embedding_neardup,
     "minhash_lsh_neardup": q_minhash_lsh_neardup,
     # --- sole/primary §2 witnesses kept under every-round verification ---
-    "null_metrics": q_null_metrics,
+    # r5 rotation (late session): url_features (new RefinedWeb-style
+    # URL-shape signals, zero-shuffle, int64+boolean exact) takes
+    # null_metrics's slot — the G-4/G-5 witness is driver-green in ALL
+    # FOUR prior rounds and stays in the local sweep.
+    "url_features": q_url_features,
     # r5 rotation (late session): boilerplate_lines (new CCNet-style
     # per-host line removal, byte-exact oracle) takes iqr_group_score's
     # slot — G-2 keeps iqr_outliers in the sweep and iqr_group_score is
@@ -5285,6 +5365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "langid_confusion": q_langid_confusion,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
+    "null_metrics": q_null_metrics,
     "lev_bestmatch": q_lev_bestmatch,
     "corr_pairs_filter": q_corr_pairs_filter,
     "iqr_group_score": q_iqr_group_score,
@@ -5388,6 +5469,7 @@ ORACLE_SQL: dict[str, str] = {
     "hypertable_rollup": _SQL_HYPERTABLE_ROLLUP,
     "sessionize": _SQL_SESSIONIZE,
     "canonical_url": _SQL_CANONICAL_URL,
+    "url_features": _SQL_URL_FEATURES,
     "repetition_topngram": _SQL_REPETITION,
     "paragraph_dedup": _SQL_PARAGRAPH_DEDUP,
     "normalize_text": _SQL_NORMALIZE_TEXT,

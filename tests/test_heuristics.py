@@ -195,3 +195,61 @@ def test_stopword_dotted_i_full_mapping(spark):
         f"x -> list_contains({stoplist}, {_sql_full_lower('x')})))"
     ).fetchone()[0]
     assert n == 2
+
+
+def test_url_shape_features_hand_cases(spark):
+    from dataquality_spark.functions.text import url_shape_features
+    rows = [
+        (1, "https://a.b.example.com/x/y/z?p=1&q=2"),
+        (2, "https://ex.com/item/123456789"),       # digit-heavy path
+        (3, "https://ex.com/?sid=abc"),             # session param
+        (4, "https://ex.com/a/b/c/d/e/f/g/h/i"),    # depth 9 > 8
+        (5, "https://ex.com"),                      # bare root
+        (6, None),                                  # NULL pinned
+    ]
+    df = spark.createDataFrame(rows, "id long, u string")
+    feats = url_shape_features(F.col("u"))
+    got = {r["id"]: r for r in
+           df.select("id", *[c.alias(k) for k, c in feats.items()]).collect()}
+    r = got[1]
+    assert (r.host, r.host_depth, r.path_depth, r.n_params) == \
+        ("a.b.example.com", 4, 3, 2)
+    assert r.r_path_depth and r.r_params and r.r_session
+    r = got[2]
+    # path '/item/123456789': len 15, digits 9 -> 18 > 15 FAIL
+    assert (r.path_len, r.path_digits) == (15, 9)
+    assert r.r_path_digits is False
+    r = got[3]
+    assert (r.path_depth, r.n_params) == (0, 1)
+    assert r.r_session is False
+    r = got[4]
+    assert r.path_depth == 9 and r.r_path_depth is False
+    r = got[5]
+    assert (r.path_depth, r.path_len, r.n_params) == (0, 0, 0)
+    assert all([r.r_path_depth, r.r_path_digits, r.r_params, r.r_session])
+    r = got[6]
+    # NULL url -> empty everything, all rules PASS (0 <= 0)
+    assert (r.host, r.host_depth, r.path_depth, r.n_params) == ("", 0, 0, 0)
+    assert all([r.r_path_depth, r.r_path_digits, r.r_params, r.r_session])
+
+
+def test_url_shape_session_param_variants(spark):
+    from dataquality_spark.functions.text import url_shape_features
+    rows = [(1, "https://e.x/p?a=1&PHPSESSID=k"),   # case-insensitive, mid
+            (2, "https://e.x/p?jsessionid=1"),
+            (3, "https://e.x/p?lsid=1"),            # no (^|&) boundary hit
+            (4, "https://e.x/p?sidecar=1")]         # 'sid=' must not match
+    df = spark.createDataFrame(rows, "id long, u string")
+    feats = url_shape_features(F.col("u"))
+    got = {r["id"]: r["r_session"] for r in
+           df.select("id", *[c.alias(k) for k, c in feats.items()]).collect()}
+    assert got == {1: False, 2: False, 3: True, 4: True}
+
+
+def test_url_shape_is_shuffle_free(spark):
+    from dataquality_spark.functions.text import url_shape_features
+    df = spark.createDataFrame([(1, "https://e.x/p")], "id long, u string")
+    feats = url_shape_features(F.col("u"))
+    out = df.select(*[c.alias(k) for k, c in feats.items()])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
