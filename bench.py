@@ -113,6 +113,9 @@ HEADLINE_QUERIES = [
     # round-5 late addition: URL-shape quality signals (zero-shuffle
     # codegen projection over events) — exact-oracle, window
     "url_features",
+    # round-5 late addition: winnowing fingerprints (Arrow UDF pass,
+    # zero shuffle) — exact-oracle, window
+    "winnow_fingerprint",
 ]
 
 

@@ -851,3 +851,81 @@ def remove_duplicated_spans(df: DataFrame, id_col: str = "url",
             .join(recon, "_id", "left")
             .select(F.col("_id").alias(id_col),
                     F.coalesce("_t", F.lit("")).alias(text_col)))
+
+
+WINNOW_K = 3      # words per k-gram
+WINNOW_W = 4      # k-gram hashes per winnowing window
+WINNOW_KEY = 1_000_003
+WINNOW_MOD = 2_147_483_647
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = WINNOW_K,
+                        w: int = WINNOW_W, key: int = WINNOW_KEY,
+                        mod: int = WINNOW_MOD) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+    word ``k``-gram, slide a window of ``w`` consecutive gram hashes, and
+    select each window's minimum — ties to the RIGHTMOST occurrence, the
+    paper's rule — so any shared substring of length >= w+k-1 words between
+    two documents is guaranteed to contribute a common selected hash. The
+    per-document summary emitted here is (gram count, selected-set size,
+    selected-hash sum mod ``mod``): the aggregate form used as a robust
+    content key; the selected sets themselves join via the same banded
+    patterns as MinHash.
+
+    Engine-portable by construction, all int64: the per-word hash is the
+    repo's fingerprint spec (len + 31*first-codepoint + 961*last-codepoint),
+    word splitting is the explicit ASCII class ``[ \\t\\n\\x0B\\f\\r]`` (the
+    Java-\\s / RE2-\\s common subset the portable-spec queries pin), gram
+    hashes interleave ``% mod`` with every multiply so nothing overflows,
+    and the fingerprint sum is commutative so the engines' differing
+    distinct-order conventions cannot diverge it. The scalar spec is
+    ``winnow_py``; the DuckDB oracle recomputes everything relationally,
+    selecting the rightmost window min as ``w − position(min,
+    reverse(window))``.
+
+    Scale shape: ZERO shuffle — one Arrow-batched UDF pass (a pure-HOF
+    formulation was tried first and abandoned: every window re-inlines the
+    gram-array subexpression, the same measured blowup that made the
+    MinHash signatures numpy UDFs, see ``shingle_bands_udf``). Per-row
+    cost O(words · w). Documents shorter than k words emit (0, 0, 0);
+    documents with fewer than w grams emit (m, 0, 0) — the winnowing
+    guarantee is vacuous below one full window and callers fall back to
+    exact hashing there.
+    """
+    @F.pandas_udf(
+        "struct<n_grams: bigint, n_selected: bigint, winnow_fp: bigint>")
+    def winnow(texts: pd.Series) -> pd.DataFrame:
+        rows = [winnow_py(t, k=k, w=w, key=key, mod=mod) for t in texts]
+        return pd.DataFrame(rows,
+                            columns=["n_grams", "n_selected", "winnow_fp"])
+
+    return (df.withColumn("_w", winnow(F.col(text_col)))
+            .select(F.col(id_col), "_w.n_grams", "_w.n_selected",
+                    "_w.winnow_fp"))
+
+
+_JAVA_WS_RX = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def winnow_py(text: str | None, k: int = WINNOW_K, w: int = WINNOW_W,
+              key: int = WINNOW_KEY,
+              mod: int = WINNOW_MOD) -> tuple[int, int, int]:
+    """Scalar winnowing spec (see ``winnow_fingerprints``): returns
+    (n_grams, n_selected, winnow_fp)."""
+    ws = [t for t in _JAVA_WS_RX.split(text or "") if t != ""]
+    wh = [len(t) + 31 * ord(t[0]) + 961 * ord(t[-1]) for t in ws]
+    m = max(len(wh) - (k - 1), 0)
+    grams = []
+    for i in range(m):
+        g = wh[i] % mod
+        for off in range(1, k):
+            g = (g * key + wh[i + off]) % mod
+        grams.append(g)
+    sel: set[int] = set()
+    for j in range(max(m - (w - 1), 0)):
+        win = grams[j:j + w]
+        mn = min(win)
+        sel.add(j + w - 1 - win[::-1].index(mn))   # rightmost min
+    return m, len(sel), sum(grams[p] for p in sel) % mod

@@ -668,6 +668,55 @@ FROM documents
 """
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003) per document: word
+    3-gram hashes, window w=4, rightmost-min selection — the
+    plagiarism-detection / local-dedup primitive with the guarantee that
+    any shared >=6-word substring yields a common selected hash. Emits
+    (n_grams, n_selected, selected-hash sum mod 2^31-1), all int64 EXACT:
+    gram hashing interleaves the modulus with every multiply (no
+    overflow), the oracle selects the rightmost window min as
+    w − position(min, reverse(window)), and the fingerprint sum is
+    commutative so distinct-order conventions cannot diverge it. ZERO
+    shuffle — one Arrow-batched UDF pass (the pure-HOF form re-inlines the
+    gram array per window; see operators/dedup.py::winnow_fingerprints)."""
+    from dataquality_spark.operators.dedup import winnow_fingerprints
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_SQL_WINNOW = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform({_SQL_WORDS},
+           w -> (len(w) + 31 * unicode(w[1])
+                 + 961 * unicode(w[-1]))::bigint) AS wh
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(wh) >= 3 THEN
+           list_transform(range(1, len(wh) - 1), i ->
+             ((((wh[i] % 2147483647) * 1000003 + wh[i + 1]) % 2147483647)
+              * 1000003 + wh[i + 2]) % 2147483647)
+         ELSE [] END AS grams
+  FROM h
+), s AS (
+  SELECT doc_id, grams,
+         CASE WHEN len(grams) >= 4 THEN
+           list_distinct(list_transform(range(1, len(grams) - 2), j ->
+             j + 4 - list_position(list_reverse(grams[j : j + 3]),
+                                   list_min(grams[j : j + 3]))))
+         ELSE [] END AS sp
+  FROM g
+)
+SELECT doc_id,
+       len(grams)::bigint AS n_grams,
+       len(sp)::bigint AS n_selected,
+       (coalesce(list_aggregate(list_transform(sp, p -> grams[p::int]),
+                                'sum'), 0) % 2147483647)::bigint AS winnow_fp
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q16 — grouped Pearson correlation (G-6 / P2, I1)
 
@@ -5318,12 +5367,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # null_metrics's slot — the G-4/G-5 witness is driver-green in ALL
     # FOUR prior rounds and stays in the local sweep.
     "url_features": q_url_features,
+    # r5 rotation (late session): winnow_fingerprint (new Schleimer 2003
+    # winnowing selection, int64-exact, zero-shuffle) takes chronology's
+    # slot — the F-8 witness is driver-green in r2, r3 AND r4 and stays
+    # in the local sweep.
+    "winnow_fingerprint": q_winnow_fingerprint,
     # r5 rotation (late session): boilerplate_lines (new CCNet-style
     # per-host line removal, byte-exact oracle) takes iqr_group_score's
     # slot — G-2 keeps iqr_outliers in the sweep and iqr_group_score is
     # driver-green in BOTH r3 and r4.
     "boilerplate_lines": q_boilerplate_lines,
-    "chronology": q_chronology,
     "rowsum_check": q_rowsum_check,
     # r5 rotation (late session): link_graph (new host-level link-graph
     # aggregation — real HTMLParser outlink UDF + canonical_url over
@@ -5366,6 +5419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "langid_confusion": q_langid_confusion,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "null_metrics": q_null_metrics,
+    "chronology": q_chronology,
     "lev_bestmatch": q_lev_bestmatch,
     "corr_pairs_filter": q_corr_pairs_filter,
     "iqr_group_score": q_iqr_group_score,
@@ -5443,6 +5497,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_allowlist": _SQL_LANG_ALLOWLIST,
     "token_stats": _SQL_TOKEN_STATS,
     "fingerprint": _SQL_FINGERPRINT,
+    "winnow_fingerprint": _SQL_WINNOW,
     "corr": _SQL_CORR,
     "distinct_langs": _SQL_DISTINCT_LANGS,
     "numeric_coercion": _SQL_NUMERIC_COERCION,

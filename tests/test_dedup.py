@@ -485,3 +485,77 @@ def test_portable_udf_batch_hash_equals_scalar(spark):
         for r in range(2):
             keys = (keys * 1_000_003 + sig.reshape(32, 2)[:, r]) % _MERSENNE
         assert row.bands == keys.tolist(), t
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) ------------------------
+
+def _winnow_ref_sets(text, k=3, w=4, key=1_000_003, mod=2_147_483_647):
+    """Independent reference: the selected (pos, hash) set, written from
+    the paper's definition, not from winnow_py's code."""
+    import re
+    ws = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text or "") if t]
+    wh = [len(t) + 31 * ord(t[0]) + 961 * ord(t[-1]) for t in ws]
+    grams = []
+    for i in range(max(len(wh) - k + 1, 0)):
+        g = wh[i] % mod
+        for o in range(1, k):
+            g = (g * key + wh[i + o]) % mod
+        grams.append(g)
+    sel = set()
+    for j in range(max(len(grams) - w + 1, 0)):
+        best, best_p = None, None
+        for o in range(w):          # ties -> rightmost: <= keeps updating
+            if best is None or grams[j + o] <= best:
+                best, best_p = grams[j + o], j + o
+        sel.add((best_p, best))
+    return grams, sel
+
+
+def test_winnow_py_matches_reference_definition():
+    from dataquality_spark.operators.dedup import winnow_py
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a a a a a a a a",                    # all-tie windows -> rightmost
+        "one two",                            # < k words -> (0, 0, 0)
+        "one two three four",                 # m=2 < w -> (2, 0, 0)
+        "", None,
+        "x " * 40 + "unique tail of words here",
+    ]
+    for t in texts:
+        grams, sel = _winnow_ref_sets(t)
+        m, n_sel, fp = winnow_py(t)
+        assert m == len(grams)
+        assert n_sel == len(sel)
+        assert fp == sum(h for _, h in sel) % 2_147_483_647
+
+
+def test_winnow_guarantee_shared_run_yields_common_hash():
+    # any shared substring of >= w+k-1 = 6 words must contribute at least
+    # one common selected hash (the paper's core guarantee)
+    shared = "alpha beta gamma delta epsilon zeta"
+    a = "left padding words here " + shared + " tail one"
+    b = "completely different prefix tokens " + shared + " other ending"
+    _, sa = _winnow_ref_sets(a)
+    _, sb = _winnow_ref_sets(b)
+    assert {h for _, h in sa} & {h for _, h in sb}
+
+
+def test_winnow_spark_matches_scalar_spec(spark):
+    from dataquality_spark.operators.dedup import (winnow_fingerprints,
+                                                   winnow_py)
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a a a a a a a a"), (2, "one two"), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_selected, r.winnow_fp)
+           for r in winnow_fingerprints(df).collect()}
+    for i, t in rows:
+        assert got[i] == winnow_py(t)
+
+
+def test_winnow_is_shuffle_free_arrow_only(spark):
+    from dataquality_spark.operators.dedup import winnow_fingerprints
+    df = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+    plan = winnow_fingerprints(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

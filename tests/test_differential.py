@@ -181,6 +181,11 @@ QUERIES_UNDER_TEST = [
     # variety (split parity), empty/NULL/1-token docs (0- and 1-chunk
     # edges), and the 300-char token (slice boundaries mid-oversized-word)
     "chunk_windows",
+    # winnowing fingerprints: the Arrow UDF's explicit-ASCII-class word
+    # split vs the oracle's RE2 \s+ (NBSP must NOT split on either side),
+    # non-BMP first/last codepoints through ord vs unicode(), all-tie and
+    # sub-window documents, NULL/empty text
+    "winnow_fingerprint",
     # Gopher A1.2 repetition signals: the planted-duplicate line/paragraph
     # builder (element_at modulo indexing, slice-of-candidates, per-
     # boundary \n vs \n\n separator) and the size−size(distinct)/char-sum
