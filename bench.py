@@ -116,6 +116,12 @@ HEADLINE_QUERIES = [
     # round-5 late addition: winnowing fingerprints (Arrow UDF pass,
     # zero shuffle) — exact-oracle, window
     "winnow_fingerprint",
+    # round-5 late addition: within-doc keep-first line dedup (byte-exact
+    # rebuild, zero shuffle) — exact-oracle, window
+    "trim_dup_lines",
+    # round-5 late addition: one-pass corpus data card (single reduce to
+    # one row) — exact-oracle, window
+    "corpus_datacard",
 ]
 
 

@@ -239,3 +239,39 @@ def gopher_repetition_stats(
         _pass(dc_l, c_l, max_dup_line_char_frac).alias("r_dup_line_chars"),
         _pass(dc_p, c_p, max_dup_para_char_frac).alias("r_dup_para_chars"),
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Within-document duplicate-line removal, keep-first — the TRIM
+    counterpart of Gopher's repetition REJECTION (`gopher_repetition_stats`
+    flags the page; this salvages it, the policy line-level curation
+    pipelines apply to navigation/boilerplate repeats inside one page) and
+    the within-page analogue of `operators/dedup.dedup_paragraphs`' cross-
+    corpus first-occurrence winner.
+
+    Every later occurrence of an already-seen line value is dropped and the
+    page is rebuilt in original order — BYTE-EXACT contract. A blank line
+    is a line value like any other: the first blank survives, later blanks
+    are dropped (so runs of paragraph breaks collapse after the first —
+    pinned in tests as the documented policy).
+
+    Scale shape: ZERO shuffle — one narrow projection; the keep-first
+    semantics ride Spark's `array_distinct`, whose first-occurrence output
+    order this operator deliberately relies on (pinned by a dedicated
+    order test AND by the byte-exact oracle, whose DuckDB side derives the
+    same text with an order-EXPLICIT row_number window — any future change
+    to array_distinct's order breaks both immediately).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, sep)
+    kept = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("trim_text"),
+        F.size(lines).cast("long").alias("total_lines"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("removed_lines"))

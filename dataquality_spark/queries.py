@@ -4877,6 +4877,79 @@ _SQL_REPETITION_PAGES = f"""
 """
 
 
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus data card — the summary row a training-data release
+    ships (docs, whitespace tokens, characters, blank docs, distinct
+    langs/sources, max doc length): ONE aggregation over the scan, every
+    measure an int64 count, partial aggregation combines map-side and the
+    two count-distincts ride Spark's standard expand — nothing second-pass,
+    nothing float. At 100 TB this is the cheapest full-corpus statement
+    there is: a single reduce to one row."""
+    docs = _t(spark, sf_dir, "documents")
+    words = TX.words_col(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words)).cast("long").alias("n_tokens"),
+        F.sum(F.length(F.coalesce("text", F.lit(""))))
+         .cast("long").alias("n_chars"),
+        F.sum(F.when(F.size(words) == 0, 1).otherwise(0))
+         .cast("long").alias("blank_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.max(F.size(words)).cast("long").alias("max_doc_tokens"))
+
+
+_SQL_CORPUS_DATACARD = f"""
+SELECT count(*)::bigint AS n_docs,
+       coalesce(sum(len({_SQL_WORDS})), 0)::bigint AS n_tokens,
+       coalesce(sum(length(coalesce(text, ''))), 0)::bigint AS n_chars,
+       coalesce(sum(CASE WHEN len({_SQL_WORDS}) = 0 THEN 1 ELSE 0 END),
+                0)::bigint AS blank_docs,
+       count(DISTINCT lang)::bigint AS n_langs,
+       count(DISTINCT source)::bigint AS n_sources,
+       max(len({_SQL_WORDS}))::bigint AS max_doc_tokens
+FROM documents
+"""
+
+
+def q_trim_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line removal, keep-first, BYTE-EXACT on
+    the rebuilt text — the trim counterpart of gopher_repetition's
+    rejection flags, run over the same planted-repetition pages so real
+    duplicates (and \\n\\n-derived blank lines, whose first occurrence
+    survives and later ones collapse — the documented policy) are
+    exercised. Spark side rides array_distinct's first-occurrence order in
+    ONE zero-shuffle projection; the oracle derives the same text with an
+    order-EXPLICIT row_number window, so any order regression
+    hash-mismatches immediately."""
+    from dataquality_spark.operators.linefilter import dedup_lines_within_doc
+    pages = _repetition_pages(
+        _decorated_pages(_t(spark, sf_dir, "documents")))
+    return dedup_lines_within_doc(pages)
+
+
+_SQL_TRIM_DUP_LINES = f"""
+WITH t AS ({_SQL_REPETITION_PAGES}),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM t
+),
+w AS (
+  SELECT doc_id, line, pos,
+         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+  FROM l
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE rn = 1), '') AS trim_text,
+       count(*)::bigint AS total_lines,
+       (count(*) FILTER (WHERE rn > 1))::bigint AS removed_lines
+FROM w GROUP BY doc_id
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher A1.2 repetition-removal signals (Rae et al. 2021 Table A1):
     per-document duplicate-line / duplicate-paragraph counts, the character
@@ -5377,14 +5450,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # slot — G-2 keeps iqr_outliers in the sweep and iqr_group_score is
     # driver-green in BOTH r3 and r4.
     "boilerplate_lines": q_boilerplate_lines,
-    "rowsum_check": q_rowsum_check,
+    # r5 rotation (late session): trim_dup_lines (new within-document
+    # keep-first line dedup, byte-exact rebuilt text) takes rowsum_check's
+    # slot — the G-3 witness is driver-green in r2, r3 AND r4 and stays
+    # in the local sweep.
+    "trim_dup_lines": q_trim_dup_lines,
     # r5 rotation (late session): link_graph (new host-level link-graph
     # aggregation — real HTMLParser outlink UDF + canonical_url over
     # hostile planted anchors, int64 exact) takes lev_bestmatch's slot —
     # the J-3/J-4/X-6 witness is driver-green in ALL FOUR prior rounds
     # and stays in the local sweep.
     "link_graph": q_link_graph,
-    "numeric_coercion": q_numeric_coercion,
+    # r5 rotation (late session): corpus_datacard (new one-pass corpus
+    # summary row, all int64 exact) takes numeric_coercion's slot — the
+    # F-5 witness is driver-green in r2, r3 AND r4 and stays in the
+    # local sweep.
+    "corpus_datacard": q_corpus_datacard,
     # r5 rotation (late session): gopher_repetition (new Gopher A1.2
     # duplicate-line/paragraph + duplicate-char signals over planted
     # repetition, int64-exact, zero-shuffle) takes corr_pairs_filter's
@@ -5420,6 +5501,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "null_metrics": q_null_metrics,
     "chronology": q_chronology,
+    "rowsum_check": q_rowsum_check,
+    "numeric_coercion": q_numeric_coercion,
     "lev_bestmatch": q_lev_bestmatch,
     "corr_pairs_filter": q_corr_pairs_filter,
     "iqr_group_score": q_iqr_group_score,
@@ -5561,6 +5644,8 @@ ORACLE_SQL: dict[str, str] = {
     "c4_line_filter": _SQL_C4_LINE_FILTER,
     "gopher_line_flags": _SQL_GOPHER_LINE_FLAGS,
     "gopher_repetition": _SQL_GOPHER_REPETITION,
+    "trim_dup_lines": _SQL_TRIM_DUP_LINES,
+    "corpus_datacard": _SQL_CORPUS_DATACARD,
     "simhash_buckets": _SQL_SIMHASH_BUCKETS,
     "simhash_neardup": _SQL_SIMHASH_NEARDUP,
     "embedding_neardup": _sql_embedding_neardup(),

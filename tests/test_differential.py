@@ -193,6 +193,16 @@ QUERIES_UNDER_TEST = [
     # — extra phantom lines and blank-line filtering are live on both
     # engines, and all four cross-multiplied integer flags get exercised
     "gopher_repetition",
+    # within-doc keep-first line dedup over the same planted-repetition
+    # pages: byte-exact rebuilt text pits Spark array_distinct's
+    # first-occurrence order against the oracle's explicit row_number
+    # window; the \n\n-derived blank lines exercise the blank-collapse
+    # policy on fuzzed WS-edged content
+    "trim_dup_lines",
+    # one-pass corpus data card: NULL/empty docs hit the blank counter and
+    # the words-split parity, NULL lang/source hit both engines'
+    # count-distinct null convention, all int64
+    "corpus_datacard",
 ]
 
 

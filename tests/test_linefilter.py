@@ -184,3 +184,48 @@ def test_repetition_is_shuffle_free(spark):
     df = gopher_repetition_stats(_one(spark, "a\nb\n\na"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# --- within-document keep-first line dedup ---------------------------------
+
+from dataquality_spark.operators.linefilter import dedup_lines_within_doc
+
+
+def _trim(spark, text):
+    return dedup_lines_within_doc(_one(spark, text)).collect()[0]
+
+
+def test_trim_dup_lines_keep_first_order(spark):
+    r = _trim(spark, "b\na\nb\nc\na\nb")
+    assert r.trim_text == "b\na\nc"
+    assert (r.total_lines, r.removed_lines) == (6, 3)
+
+
+def test_trim_dup_lines_blank_policy(spark):
+    # first blank survives, later blanks collapse (documented policy)
+    r = _trim(spark, "a\n\nb\n\nc")
+    assert r.trim_text == "a\n\nb\nc"
+    assert (r.total_lines, r.removed_lines) == (5, 1)
+
+
+def test_trim_dup_lines_null_empty_and_nodup(spark):
+    r = _trim(spark, None)
+    assert (r.trim_text, r.total_lines, r.removed_lines) == ("", 1, 0)
+    r = _trim(spark, "x\ny\nz")
+    assert r.trim_text == "x\ny\nz" and r.removed_lines == 0
+
+
+def test_array_distinct_first_occurrence_order_pin(spark):
+    """dedup_lines_within_doc DELIBERATELY relies on array_distinct
+    emitting first occurrences in original order; pin that contract
+    (the byte-exact oracle also catches any regression)."""
+    row = spark.range(1).select(
+        F.array_distinct(F.split(F.lit("q\np\nq\nr\np"), "\n")).alias("a")
+    ).collect()[0]
+    assert row.a == ["q", "p", "r"]
+
+
+def test_trim_dup_lines_is_shuffle_free(spark):
+    df = dedup_lines_within_doc(_one(spark, "a\nb\na"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
