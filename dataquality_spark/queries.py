@@ -4899,16 +4899,22 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.size(words)).cast("long").alias("max_doc_tokens"))
 
 
+# NULL-text pin (caught by the differential fuzzer on first contact): the
+# shared {_SQL_WORDS} splits the raw `text`, and DuckDB's len(NULL split)
+# is NULL — a NULL-text doc would silently fall out of blank_docs while
+# Spark's words_col coalesces and counts it. Coalesce in a CTE so both
+# engines see the empty page.
 _SQL_CORPUS_DATACARD = f"""
+WITH d AS (SELECT coalesce(text, '') AS text, lang, source FROM documents)
 SELECT count(*)::bigint AS n_docs,
        coalesce(sum(len({_SQL_WORDS})), 0)::bigint AS n_tokens,
-       coalesce(sum(length(coalesce(text, ''))), 0)::bigint AS n_chars,
+       coalesce(sum(length(text)), 0)::bigint AS n_chars,
        coalesce(sum(CASE WHEN len({_SQL_WORDS}) = 0 THEN 1 ELSE 0 END),
                 0)::bigint AS blank_docs,
        count(DISTINCT lang)::bigint AS n_langs,
        count(DISTINCT source)::bigint AS n_sources,
        max(len({_SQL_WORDS}))::bigint AS max_doc_tokens
-FROM documents
+FROM d
 """
 
 
