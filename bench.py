@@ -122,6 +122,9 @@ HEADLINE_QUERIES = [
     # round-5 late addition: one-pass corpus data card (single reduce to
     # one row) — exact-oracle, window
     "corpus_datacard",
+    # round-5 late addition: cluster-grain leakage-safe split (components
+    # fixpoint + portable hash bucket) — exact-oracle, window
+    "leakage_safe_split",
 ]
 
 

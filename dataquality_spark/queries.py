@@ -2853,7 +2853,9 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                               driver_threshold=0)
 
 
-_SQL_NEARDUP_COMPONENTS = f"""
+# The recursive connected-components CTE chain, shared by the components
+# oracle and the leakage-safe-split oracle (which buckets ON the label).
+_CC_CTES = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id,
          list_filter(list_distinct(list_transform(
@@ -2874,9 +2876,47 @@ walk(id, comp) AS (
   UNION
   SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.id
 ),
-labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
-SELECT d.doc_id, coalesce(l.comp, d.doc_id)::bigint AS component
-FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+comp AS (
+  SELECT d.doc_id, coalesce(l.comp, d.doc_id)::bigint AS component
+  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+)"""
+
+_SQL_NEARDUP_COMPONENTS = f"""{_CC_CTES}
+SELECT doc_id, component FROM comp
+"""
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split unit is the near-dup
+    CLUSTER, not the document, so a near-copy of a train page can never
+    land in test — the eval-leakage failure plain hash_split permits and
+    decontamination-by-exact-match misses. Composes the exact
+    connected-components labels (same distributed large-star/small-star
+    fixpoint as neardup_components) with the house portable hash on the
+    COMPONENT id: bucket = pmod(component·2654435761, 2^31−1) % 100,
+    <80 train / <90 val / rest test. The guarantee is structural — split
+    is a pure function of the cluster label, pinned by a same-cluster-
+    same-split test. Scale: one extra zero-shuffle projection on top of
+    the components fixpoint; the bucketing adds nothing to the plan."""
+    comp = q_neardup_components(spark, sf_dir)
+    bucket = F.pmod(F.col("component") * 2654435761,
+                    F.lit(2147483647)) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return comp.select("doc_id", "component", split.alias("split"))
+
+
+_SQL_LEAKAGE_SPLIT = f"""{_CC_CTES}
+SELECT doc_id, component,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, component,
+         ((component * 2654435761) % 2147483647 + 2147483647)
+         % 2147483647 % 100 AS b
+  FROM comp
+)
 """
 
 
@@ -5479,7 +5519,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (r1–r4), the most-verified entry in the window, and stays in the
     # local sweep.
     "gopher_repetition": q_gopher_repetition,
-    "date_format_check": q_date_format_check,
+    # r5 rotation (late session): leakage_safe_split (new cluster-grain
+    # train/val/test split — near-dups never straddle splits; exact
+    # composition of the components labels with the portable hash bucket)
+    # takes date_format_check's slot — the F-7/X-4 witness is driver-green
+    # in r2, r3 AND r4 and stays in the local sweep.
+    "leakage_safe_split": q_leakage_safe_split,
     "c1_neardup_rescue": q_c1_neardup_rescue,
     "normalize_text": q_normalize_text,
     "scrub_documents": q_scrub_documents,
@@ -5509,6 +5554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chronology": q_chronology,
     "rowsum_check": q_rowsum_check,
     "numeric_coercion": q_numeric_coercion,
+    "date_format_check": q_date_format_check,
     "lev_bestmatch": q_lev_bestmatch,
     "corr_pairs_filter": q_corr_pairs_filter,
     "iqr_group_score": q_iqr_group_score,
@@ -5623,6 +5669,7 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_decode": _SQL_MULTIMODAL_DECODE,
     "multimodal_frames": _SQL_MULTIMODAL_FRAMES,
     "neardup_components": _SQL_NEARDUP_COMPONENTS,
+    "leakage_safe_split": _SQL_LEAKAGE_SPLIT,
     "token_budget_sample": _SQL_TOKEN_BUDGET_SAMPLE,
     "decontaminate": _SQL_DECONTAMINATE,
     "incremental_dedup": _SQL_INCREMENTAL_DEDUP,

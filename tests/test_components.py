@@ -258,3 +258,24 @@ def test_asof_join_null_keys_never_match(spark):
                      value_cols=["v"]).collect()}
     assert out[("k",)] == 7.0
     assert out[(None,)] is None
+
+
+def test_leakage_safe_split_cluster_grain(spark):
+    """Every near-dup cluster lands wholly in ONE split (the structural
+    guarantee), and the split label matches the portable hash of the
+    component id."""
+    from dataquality_spark.queries import q_leakage_safe_split
+    out = q_leakage_safe_split(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, set()).add(r.split)
+        b = (r.component * 2654435761) % 2147483647 % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert r.split == want
+    assert all(len(s) == 1 for s in by_comp.values())
+    # the sf0.001 corpus has at least one multi-doc cluster, so the
+    # guarantee is exercised, not vacuous
+    from collections import Counter
+    comp_sizes = Counter(r.component for r in out)
+    assert max(comp_sizes.values()) >= 2
