@@ -125,6 +125,9 @@ HEADLINE_QUERIES = [
     # round-5 late addition: cluster-grain leakage-safe split (components
     # fixpoint + portable hash bucket) — exact-oracle, window
     "leakage_safe_split",
+    # round-5 late addition: lexicon toxicity scoring (one codegen
+    # projection) — exact-oracle, past-window sweep
+    "toxicity_score",
 ]
 
 

@@ -377,3 +377,23 @@ def url_shape_features(url: Column) -> dict[str, Column]:
         "r_params": n_params <= F.lit(URL_MAX_QUERY_PARAMS),
         "r_session": ~query.rlike(_SESSION_PARAM_RX),
     }
+
+
+def lexicon_hits(text: Column, lexicon: list[str]) -> Column:
+    """Case-insensitive whole-word hit count against a word list — the
+    scoring half of a lexicon-based toxicity/blocklist stage (the scrub
+    chain REDACTS; this MEASURES, the gate signal UT1-style pipelines
+    threshold on). One JVM-side regexp_count, zero shuffle, no UDF: the
+    lexicon compiles to a single alternation under ``(?i)`` with ``\\b``
+    anchors — ASCII lexicons make Java and RE2 agree on both, the same
+    parity class the mojibake counters pin. Lexicon terms must be
+    regex-safe words (letters/digits/underscore); at 100 TB a real UT1
+    list rides in as one compiled pattern per executor, no broadcast
+    join needed below ~thousands of terms.
+    """
+    for w in lexicon:
+        if not w.replace("_", "").isalnum() or not w.isascii():
+            raise ValueError(f"lexicon term not a plain ASCII word: {w!r}")
+    pat = r"(?i)\b(" + "|".join(lexicon) + r")\b"
+    return F.coalesce(
+        F.regexp_count(F.coalesce(text, F.lit("")), F.lit(pat)), F.lit(0))

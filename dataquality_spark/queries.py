@@ -5070,6 +5070,75 @@ _PII_TOKENS = [("<EMAIL>", "n_email"), ("<PHONE>", "n_phone"),
                ("<IBAN>", "n_iban"), ("<TOX>", "n_tox")]
 
 
+# STUB LEXICON (clearly marked, the multimodal-codec posture: plumbing
+# real, payload synthetic): the container ships no UT1/real toxicity word
+# list, and the corpus is a clean word stream, so the lexicon is 8
+# sentinel tokens planted from doc_id arithmetic. A production caller
+# passes the real list to functions/text.lexicon_hits unchanged.
+_TOX_LEXICON = [f"toxplant{i}" for i in range(8)]
+
+
+def q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based toxicity scoring (the MEASURE half of the north
+    rule's PII/toxicity stage; scrub REDACTS, this gates): per document,
+    whole-word case-insensitive lexicon hits, token count, and the
+    density PASS flag (hits <= 2% of tokens by integer cross-
+    multiplication — float-free). Hits are PLANTED deterministically
+    (doc_id % 5 sentinel words, every 13th doc upper-cased to keep the
+    (?i) path live); both engines construct byte-identical text and count
+    with the same \\b alternation. ZERO shuffle — one codegen projection,
+    no UDF."""
+    from dataquality_spark.functions.text import lexicon_hits
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hits = F.concat_ws(" ", *[
+        F.when(d % 5 >= j + 1,
+               F.when((d % 13 == 0) & (F.lit(j) == 0),
+                      F.upper(F.concat(F.lit("toxplant"),
+                                       ((d + j) % 8).cast("string"))))
+               .otherwise(F.concat(F.lit("toxplant"),
+                                   ((d + j) % 8).cast("string"))))
+        .otherwise(F.lit("clean")) for j in range(4)])
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.coalesce("text", F.lit("")), hits).alias("text"))
+    n_tokens = F.size(TX.words_col(F.col("text"))).cast("long")
+    tox = lexicon_hits(F.col("text"), _TOX_LEXICON).cast("long")
+    return planted.select(
+        "doc_id", tox.alias("tox_hits"), n_tokens.alias("n_tokens"),
+        (tox * 50 <= n_tokens).alias("r_toxicity"))
+
+
+_SQL_TOXICITY = f"""
+WITH p AS (
+  SELECT doc_id,
+         concat_ws(' ', coalesce(text, ''),
+           concat_ws(' ',
+             CASE WHEN doc_id % 5 >= 1 THEN
+               CASE WHEN doc_id % 13 = 0
+                    THEN upper('toxplant' || ((doc_id + 0) % 8))
+                    ELSE 'toxplant' || ((doc_id + 0) % 8) END
+             ELSE 'clean' END,
+             CASE WHEN doc_id % 5 >= 2 THEN 'toxplant' || ((doc_id + 1) % 8)
+                  ELSE 'clean' END,
+             CASE WHEN doc_id % 5 >= 3 THEN 'toxplant' || ((doc_id + 2) % 8)
+                  ELSE 'clean' END,
+             CASE WHEN doc_id % 5 >= 4 THEN 'toxplant' || ((doc_id + 3) % 8)
+                  ELSE 'clean' END)) AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '(?i)\\b(toxplant0|toxplant1|toxplant2|toxplant3|toxplant4|toxplant5|toxplant6|toxplant7)\\b'
+       ))::bigint AS tox_hits,
+       len({_SQL_WORDS})::bigint AS n_tokens,
+       len(regexp_extract_all(text,
+           '(?i)\\b(toxplant0|toxplant1|toxplant2|toxplant3|toxplant4|toxplant5|toxplant6|toxplant7)\\b'
+       )) * 50 <= len({_SQL_WORDS}) AS r_toxicity
+FROM p
+"""
+
+
 def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_spark.scrub import with_scrubbed_text
     docs = _t(spark, sf_dir, "documents")
@@ -5549,6 +5618,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_error": q_minhash_error,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "langid_confusion": q_langid_confusion,
+    # --- past the window: round-5 late additions past the 50-slot budget
+    # (sweep + fuzz + pytest evidence; every remaining in-window slot is a
+    # sole witness or a composed-path anchor) ---
+    "toxicity_score": q_toxicity_score,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "null_metrics": q_null_metrics,
     "chronology": q_chronology,
@@ -5703,6 +5776,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_neardup": _SQL_SIMHASH_NEARDUP,
     "embedding_neardup": _sql_embedding_neardup(),
     "pii_stats": _sql_pii_stats(),
+    "toxicity_score": _SQL_TOXICITY,
     "rule_ablation": _sql_rule_ablation(),
     "readability": _SQL_READABILITY,
     "minhash_error": _sql_minhash_error(),

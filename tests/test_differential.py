@@ -203,6 +203,11 @@ QUERIES_UNDER_TEST = [
     # the words-split parity, NULL lang/source hit both engines'
     # count-distinct null convention, all int64
     "corpus_datacard",
+    # lexicon toxicity scoring: planted sentinel hits adjacent to hostile
+    # fuzz text — the (?i)\b alternation's Java-vs-RE2 boundary parity
+    # against NBSP/unicode/punctuation neighbors, NULL text, and the
+    # density flag's integer cross-multiplication
+    "toxicity_score",
 ]
 
 

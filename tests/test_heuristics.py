@@ -253,3 +253,24 @@ def test_url_shape_is_shuffle_free(spark):
     out = df.select(*[c.alias(k) for k, c in feats.items()])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_lexicon_hits_boundaries_and_case(spark):
+    from dataquality_spark.functions.text import lexicon_hits
+    rows = [(1, "bad WORSE bad."), (2, "badger embedded notbad bad"),
+            (3, None), (4, "bad-adjacent bad, (bad) BAD!")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", lexicon_hits(F.col("t"), ["bad", "worse"]).alias("n")
+    ).collect()}
+    # whole words only: 'badger'/'notbad' don't hit; punctuation is a
+    # boundary; case-insensitive
+    assert got == {1: 3, 2: 1, 3: 0, 4: 4}
+
+
+def test_lexicon_hits_rejects_regex_unsafe_terms(spark):
+    from dataquality_spark.functions.text import lexicon_hits
+    import pytest as _pt
+    for bad in ["a.b", "x|y", "", "naïve"]:
+        with _pt.raises(ValueError):
+            lexicon_hits(F.lit("t"), ["ok", bad])
