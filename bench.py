@@ -122,12 +122,15 @@ HEADLINE_QUERIES = [
     # round-5 late addition: one-pass corpus data card (single reduce to
     # one row) — exact-oracle, window
     "corpus_datacard",
-    # round-5 late addition: cluster-grain leakage-safe split (components
-    # fixpoint + portable hash bucket) — exact-oracle, window
-    "leakage_safe_split",
     # round-5 late addition: lexicon toxicity scoring (one codegen
     # projection) — exact-oracle, past-window sweep
     "toxicity_score",
+    # NOT here: leakage_safe_split — its registry form builds edges with
+    # the same O(n²) exact all-pairs witness as neardup_components
+    # (deliberately absent from this list since round 2; measured 443.8s
+    # at sf0.1, /tmp/bench_r5_auto2). Both are oracle-scale correctness
+    # witnesses; the production composition rides fuzzy_dedup's banded
+    # LSH candidates, benched via fuzzy_dedup_decisions above.
 ]
 
 

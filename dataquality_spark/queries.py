@@ -2897,8 +2897,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPONENT id: bucket = pmod(component·2654435761, 2^31−1) % 100,
     <80 train / <90 val / rest test. The guarantee is structural — split
     is a pure function of the cluster label, pinned by a same-cluster-
-    same-split test. Scale: one extra zero-shuffle projection on top of
-    the components fixpoint; the bucketing adds nothing to the plan."""
+    same-split test. Scale: the bucketing itself adds one zero-shuffle
+    projection; THIS registry form inherits neardup_components' exact
+    all-pairs edge witness (oracle-scale only — quadratic by design, like
+    cosine_allpairs). The production composition feeds the same
+    components fixpoint from fuzzy_dedup's banded LSH candidates instead,
+    which is the benched path (fuzzy_dedup_decisions)."""
     comp = q_neardup_components(spark, sf_dir)
     bucket = F.pmod(F.col("component") * 2654435761,
                     F.lit(2147483647)) % 100
