@@ -125,6 +125,9 @@ HEADLINE_QUERIES = [
     # round-5 late addition: lexicon toxicity scoring (one codegen
     # projection) — exact-oracle, past-window sweep
     "toxicity_score",
+    # round-5 late addition: Dolma-style attribute spans (projection +
+    # posexplode, zero shuffle) — exact-oracle, past-window sweep
+    "attribute_spans",
     # NOT here: leakage_safe_split — its registry form builds edges with
     # the same O(n²) exact all-pairs witness as neardup_components
     # (deliberately absent from this list since round 2; measured 443.8s

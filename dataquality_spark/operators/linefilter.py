@@ -275,3 +275,59 @@ def dedup_lines_within_doc(
         F.array_join(kept, sep).alias("trim_text"),
         F.size(lines).cast("long").alias("total_lines"),
         (F.size(lines) - F.size(kept)).cast("long").alias("removed_lines"))
+
+
+def attribute_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    lexicon: list[str] | None = None,
+) -> DataFrame:
+    """Paragraph-level attribute spans — the Dolma attributes pattern
+    (Soldaini et al. 2024: quality/toxicity signals stored as
+    (start, end, score) spans over the raw text, so downstream consumers
+    can mask or drop spans without re-running the tagger). Per document,
+    one row per ``sep``-separated paragraph with its exact character
+    offsets into the ORIGINAL text ([start, end) — verifiable by
+    ``substring``), its word count, and its lexicon hit count
+    (`functions/text.lexicon_hits` semantics).
+
+    Offsets are computed by ONE linear fold per row (an ``aggregate``
+    with a struct accumulator carrying (cursor, spans)) — deliberately
+    NOT the transform-with-index + slice prefix-sum form, whose
+    re-inlined subexpressions are the measured blowup that moved the
+    winnowing operator to an Arrow UDF. The fold is O(paragraphs), the
+    tree is O(1), and the whole operator is a zero-shuffle projection +
+    one Generate (posexplode) — no UDF, int64 everywhere.
+    """
+    from dataquality_spark.functions.text import lexicon_hits
+
+    lex = lexicon if lexicon is not None else []
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    paras = F.split(text, sep)
+    sep_len = len(sep)
+    init = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.array().cast("array<struct<start: bigint, end: bigint>>")
+        .alias("spans"))
+    folded = F.aggregate(
+        paras, init,
+        lambda acc, p: F.struct(
+            (acc["pos"] + F.length(p) + sep_len).alias("pos"),
+            F.concat(
+                acc["spans"],
+                F.array(F.struct(acc["pos"].alias("start"),
+                                 (acc["pos"] + F.length(p)).alias("end")))
+            ).alias("spans")))
+    scored = F.zip_with(
+        folded["spans"], paras,
+        lambda s, p: F.struct(
+            s["start"].alias("start"), s["end"].alias("end"),
+            F.size(F.filter(F.split(p, " "), lambda w: w != F.lit("")))
+            .cast("long").alias("n_words"),
+            (lexicon_hits(p, lex) if lex else F.lit(0)).cast("long")
+            .alias("hits")))
+    return (df.select(F.col(id_col), F.posexplode(scored))
+            .select(id_col, F.col("pos").cast("long").alias("para_idx"),
+                    "col.start", "col.end", "col.n_words", "col.hits"))

@@ -5082,6 +5082,38 @@ _PII_TOKENS = [("<EMAIL>", "n_email"), ("<PHONE>", "n_phone"),
 _TOX_LEXICON = [f"toxplant{i}" for i in range(8)]
 
 
+def _tox_plant_expr() -> Column:
+    """Planted sentinel-hit string (doc_id % 5 lexicon words, every 13th
+    doc upper-cased to keep the (?i) path live) — shared by
+    toxicity_score and attribute_spans."""
+    d = F.col("doc_id")
+
+    def word(j: int) -> Column:
+        w = F.concat(F.lit("toxplant"), ((d + j) % 8).cast("string"))
+        if j == 0:
+            w = F.when(d % 13 == 0, F.upper(w)).otherwise(w)
+        return F.when(d % 5 >= j + 1, w).otherwise(F.lit("clean"))
+
+    return F.concat_ws(" ", *[word(j) for j in range(4)])
+
+
+_SQL_TOX_PLANT = """concat_ws(' ',
+             CASE WHEN doc_id % 5 >= 1 THEN
+               CASE WHEN doc_id % 13 = 0
+                    THEN upper('toxplant' || ((doc_id + 0) % 8))
+                    ELSE 'toxplant' || ((doc_id + 0) % 8) END
+             ELSE 'clean' END,
+             CASE WHEN doc_id % 5 >= 2 THEN 'toxplant' || ((doc_id + 1) % 8)
+                  ELSE 'clean' END,
+             CASE WHEN doc_id % 5 >= 3 THEN 'toxplant' || ((doc_id + 2) % 8)
+                  ELSE 'clean' END,
+             CASE WHEN doc_id % 5 >= 4 THEN 'toxplant' || ((doc_id + 3) % 8)
+                  ELSE 'clean' END)"""
+
+_SQL_TOX_RX = (r"(?i)\b(toxplant0|toxplant1|toxplant2|toxplant3"
+               r"|toxplant4|toxplant5|toxplant6|toxplant7)\b")
+
+
 def q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-based toxicity scoring (the MEASURE half of the north
     rule's PII/toxicity stage; scrub REDACTS, this gates): per document,
@@ -5094,18 +5126,10 @@ def q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     no UDF."""
     from dataquality_spark.functions.text import lexicon_hits
     docs = _t(spark, sf_dir, "documents")
-    d = F.col("doc_id")
-    hits = F.concat_ws(" ", *[
-        F.when(d % 5 >= j + 1,
-               F.when((d % 13 == 0) & (F.lit(j) == 0),
-                      F.upper(F.concat(F.lit("toxplant"),
-                                       ((d + j) % 8).cast("string"))))
-               .otherwise(F.concat(F.lit("toxplant"),
-                                   ((d + j) % 8).cast("string"))))
-        .otherwise(F.lit("clean")) for j in range(4)])
     planted = docs.select(
         "doc_id",
-        F.concat_ws(" ", F.coalesce("text", F.lit("")), hits).alias("text"))
+        F.concat_ws(" ", F.coalesce("text", F.lit("")),
+                    _tox_plant_expr()).alias("text"))
     n_tokens = F.size(TX.words_col(F.col("text"))).cast("long")
     tox = lexicon_hits(F.col("text"), _TOX_LEXICON).cast("long")
     return planted.select(
@@ -5116,30 +5140,64 @@ def q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOXICITY = f"""
 WITH p AS (
   SELECT doc_id,
-         concat_ws(' ', coalesce(text, ''),
-           concat_ws(' ',
-             CASE WHEN doc_id % 5 >= 1 THEN
-               CASE WHEN doc_id % 13 = 0
-                    THEN upper('toxplant' || ((doc_id + 0) % 8))
-                    ELSE 'toxplant' || ((doc_id + 0) % 8) END
-             ELSE 'clean' END,
-             CASE WHEN doc_id % 5 >= 2 THEN 'toxplant' || ((doc_id + 1) % 8)
-                  ELSE 'clean' END,
-             CASE WHEN doc_id % 5 >= 3 THEN 'toxplant' || ((doc_id + 2) % 8)
-                  ELSE 'clean' END,
-             CASE WHEN doc_id % 5 >= 4 THEN 'toxplant' || ((doc_id + 3) % 8)
-                  ELSE 'clean' END)) AS text
+         concat_ws(' ', coalesce(text, ''), {_SQL_TOX_PLANT}) AS text
   FROM documents
 )
 SELECT doc_id,
-       len(regexp_extract_all(text,
-           '(?i)\\b(toxplant0|toxplant1|toxplant2|toxplant3|toxplant4|toxplant5|toxplant6|toxplant7)\\b'
-       ))::bigint AS tox_hits,
+       len(regexp_extract_all(text, '{_SQL_TOX_RX}'))::bigint AS tox_hits,
        len({_SQL_WORDS})::bigint AS n_tokens,
-       len(regexp_extract_all(text,
-           '(?i)\\b(toxplant0|toxplant1|toxplant2|toxplant3|toxplant4|toxplant5|toxplant6|toxplant7)\\b'
-       )) * 50 <= len({_SQL_WORDS}) AS r_toxicity
+       len(regexp_extract_all(text, '{_SQL_TOX_RX}')) * 50
+         <= len({_SQL_WORDS}) AS r_toxicity
 FROM p
+"""
+
+
+def q_attribute_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style attribute spans (Soldaini et al. 2024): one row per
+    paragraph with its EXACT [start, end) character offsets into the
+    original text, word count, and toxicity-lexicon hit count — the
+    span-tagging artifact downstream consumers mask/drop on without
+    re-running the tagger. Documents use the ' a ' paragraph-separator
+    convention (paragraph_dedup precedent) with one planted sentinel-hit
+    paragraph appended per doc. All int64 EXACT: offsets come from ONE
+    linear struct-accumulator fold (see operators/linefilter.py for why
+    not the prefix-sum HOF form); the oracle recomputes them with an
+    order-explicit window sum. Zero shuffle — projection + posexplode."""
+    from dataquality_spark.operators.linefilter import attribute_spans
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(" a ", F.coalesce("text", F.lit("")),
+                    _tox_plant_expr()).alias("text"))
+    from dataquality_spark.queries import _TOX_LEXICON as _lex  # noqa: PLC0415
+    return attribute_spans(planted, sep=" a ", lexicon=list(_lex))
+
+
+_SQL_ATTRIBUTE_SPANS = f"""
+WITH p AS (
+  SELECT doc_id,
+         concat_ws(' a ', coalesce(text, ''), {_SQL_TOX_PLANT}) AS text
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' a ')) AS para,
+         unnest(range(1, len(string_split(text, ' a ')) + 1)) AS pos
+  FROM p
+), o AS (
+  SELECT doc_id, para, pos,
+         coalesce(sum(length(para) + 3) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM l
+)
+SELECT doc_id,
+       (pos - 1)::bigint AS para_idx,
+       start::bigint AS start,
+       (start + length(para))::bigint AS "end",
+       len(list_filter(string_split(para, ' '), w -> w <> ''))::bigint
+         AS n_words,
+       len(regexp_extract_all(para, '{_SQL_TOX_RX}'))::bigint AS hits
+FROM o
 """
 
 
@@ -5626,6 +5684,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (sweep + fuzz + pytest evidence; every remaining in-window slot is a
     # sole witness or a composed-path anchor) ---
     "toxicity_score": q_toxicity_score,
+    "attribute_spans": q_attribute_spans,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "null_metrics": q_null_metrics,
     "chronology": q_chronology,
@@ -5781,6 +5840,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_neardup": _sql_embedding_neardup(),
     "pii_stats": _sql_pii_stats(),
     "toxicity_score": _SQL_TOXICITY,
+    "attribute_spans": _SQL_ATTRIBUTE_SPANS,
     "rule_ablation": _sql_rule_ablation(),
     "readability": _SQL_READABILITY,
     "minhash_error": _sql_minhash_error(),

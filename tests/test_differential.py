@@ -208,6 +208,11 @@ QUERIES_UNDER_TEST = [
     # against NBSP/unicode/punctuation neighbors, NULL text, and the
     # density flag's integer cross-multiplication
     "toxicity_score",
+    # Dolma-style attribute spans: the fold-derived [start,end) offsets
+    # against the oracle's window prefix sum over hostile text (multi-
+    # codepoint chars — length parity; ' a ' boundaries emerging inside
+    # fuzzed content; NULL text single-empty-paragraph pin)
+    "attribute_spans",
 ]
 
 

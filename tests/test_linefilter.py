@@ -229,3 +229,37 @@ def test_trim_dup_lines_is_shuffle_free(spark):
     df = dedup_lines_within_doc(_one(spark, "a\nb\na"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# --- Dolma-style attribute spans -------------------------------------------
+
+from dataquality_spark.operators.linefilter import attribute_spans
+
+
+def test_attribute_spans_offsets_and_scores(spark):
+    text = "bad day\n\nall clear here\nbad bad end"
+    df = _one(spark, text)
+    rows = attribute_spans(df, sep="\n", lexicon=["bad"]).collect()
+    # paragraphs at '\n' grain: ['bad day', '', 'all clear here', 'bad bad end']
+    assert [r.para_idx for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        # the offsets must slice the ORIGINAL text back to the paragraph
+        assert text[r.start:r.end] == text.split("\n")[r.para_idx]
+    assert [(r.n_words, r.hits) for r in rows] == [
+        (2, 1), (0, 0), (3, 0), (3, 2)]
+
+
+def test_attribute_spans_multichar_sep_and_null(spark):
+    text = "x y a z w"   # ' a ' separator -> ['x y', 'z w']
+    rows = attribute_spans(_one(spark, text), sep=" a ").collect()
+    assert [(r.start, r.end) for r in rows] == [(0, 3), (6, 9)]
+    assert text[6:9] == "z w"
+    rows = attribute_spans(_one(spark, None), sep=" a ").collect()
+    assert [(r.para_idx, r.start, r.end, r.n_words, r.hits)
+            for r in rows] == [(0, 0, 0, 0, 0)]
+
+
+def test_attribute_spans_is_shuffle_free(spark):
+    df = attribute_spans(_one(spark, "a\nb"), lexicon=["bad"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
