@@ -128,6 +128,10 @@ HEADLINE_QUERIES = [
     # round-5 late addition: Dolma-style attribute spans (projection +
     # posexplode, zero shuffle) — exact-oracle, past-window sweep
     "attribute_spans",
+    # round-5 late addition: keep-rate threshold calibration by
+    # distributed exact selection (<=13 bounded-collect passes over one
+    # persisted long column, no sort) — exact-oracle, past-window sweep
+    "threshold_calibration",
     # NOT here: leakage_safe_split — its registry form builds edges with
     # the same O(n²) exact all-pairs witness as neardup_components
     # (deliberately absent from this list since round 2; measured 443.8s

@@ -5152,6 +5152,53 @@ FROM p
 """
 
 
+_CALIB_KEEP_PCT = 30
+
+
+def q_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate threshold calibration by DISTRIBUTED EXACT SELECTION:
+    "keep the best 30%" needs the exact k-th largest classifier logit —
+    a global sort is the wrong 100-TB plan and percentile_approx cannot
+    promise the keep rate. operators/selection.py runs histogram-
+    refinement selection (<= 65-row collect per pass, range shrinks 64x
+    per pass, <= 11 passes over one persisted long column — no sort, no
+    row shuffle, skew just recurses). Emits (threshold, target_k,
+    kept_count, n_docs), all int64 EXACT over the fixed-point classifier
+    logits; ties make kept_count >= target_k, both reported. The oracle
+    recomputes the order statistic relationally (row_number at rank k —
+    tied ranks share the value, so the threshold is engine-independent)."""
+    from dataquality_spark.models import quality
+    from dataquality_spark.operators.selection import exact_kth_largest
+    udf = quality.make_quality_logit_udf(
+        spark, quality.load_quantized_artifact())
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(udf("text")["logit_num"].alias("logit")).persist()
+    n = scored.count()
+    k = max(1, n * _CALIB_KEEP_PCT // 100)
+    thr = exact_kth_largest(scored, "logit", k)
+    kept = scored.where(F.col("logit") >= thr).count()
+    out = spark.createDataFrame(
+        [(thr, k, kept, n)],
+        "threshold bigint, target_k bigint, kept bigint, n_docs bigint")
+    return _register_pins(out, [scored])
+
+
+def _sql_threshold_calibration() -> str:
+    return f"""
+WITH c AS ({_sql_quality_classifier()}),
+l AS (SELECT logit_num AS v FROM c),
+kk AS (SELECT greatest(1, count(*) * {_CALIB_KEEP_PCT} // 100) AS k,
+              count(*) AS n FROM l),
+r AS (SELECT v, row_number() OVER (ORDER BY v DESC) AS rnk FROM l)
+SELECT (SELECT v FROM r, kk WHERE rnk = k)::bigint AS threshold,
+       kk.k::bigint AS target_k,
+       (SELECT count(*) FROM l, kk
+        WHERE v >= (SELECT v FROM r WHERE rnk = kk.k))::bigint AS kept,
+       kk.n::bigint AS n_docs
+FROM kk
+"""
+
+
 def q_attribute_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style attribute spans (Soldaini et al. 2024): one row per
     paragraph with its EXACT [start, end) character offsets into the
@@ -5685,6 +5732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sole witness or a composed-path anchor) ---
     "toxicity_score": q_toxicity_score,
     "attribute_spans": q_attribute_spans,
+    "threshold_calibration": q_threshold_calibration,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "null_metrics": q_null_metrics,
     "chronology": q_chronology,
@@ -5841,6 +5889,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_stats": _sql_pii_stats(),
     "toxicity_score": _SQL_TOXICITY,
     "attribute_spans": _SQL_ATTRIBUTE_SPANS,
+    "threshold_calibration": _sql_threshold_calibration(),
     "rule_ablation": _sql_rule_ablation(),
     "readability": _SQL_READABILITY,
     "minhash_error": _sql_minhash_error(),
