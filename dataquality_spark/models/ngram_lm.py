@@ -88,17 +88,43 @@ def train_lm(seed_docs: dict[str, list[str]] | None = None) -> dict:
 def logprob_batch(texts: pd.Series, lang_idx: np.ndarray, artifact: dict
                   ) -> np.ndarray:
     """Per-text average char logprob under lang_idx's model (NaN if no lang
-    or too-short text)."""
-    out = np.full(len(texts), np.nan, dtype=np.float64)
-    vals = texts.to_numpy(dtype=object)
+    or too-short text). Batch-vectorized like ``langid.predict_batch``: one
+    shared codepoint buffer + one trigram-hash pass, rows grouped by prefix
+    length score as stacked matrices with the per-row language selecting the
+    gather row. Bit-identical to the per-row ``_doc_logprob``: the stacked
+    float32 log-sum reduces the last axis with the same pairwise order, and
+    the final division runs in float64 exactly like the scalar path
+    (np.float32 scalar / int promotes to float64)."""
+    from dataquality_spark.models.langid import _batch_prep
+    n_rows = len(texts)
+    out = np.full(n_rows, np.nan, dtype=np.float64)
+    if n_rows == 0:
+        return out
     tri_tab, ctx_tab = artifact["tri"], artifact["ctx"]
+    cp, offs, lens = _batch_prep(texts)
+    li_arr = np.asarray(lang_idx, dtype=np.int64)
     with np.errstate(over="ignore"):
-        for r in range(len(vals)):
-            li = int(lang_idx[r])
-            t = vals[r]
-            if li < 0 or t is None or (isinstance(t, float) and np.isnan(t)):
+        if len(cp) >= 3:
+            ctx_u = (cp[:-2] * _PA) ^ cp[1:-1]
+            tri_all = ((ctx_u * _PB) ^ cp[2:]) & _MASK
+            ctx_all = ctx_u & _MASK
+        else:
+            tri_all = ctx_all = np.zeros(0, dtype=np.uint64)
+        for ln in np.unique(lens):
+            if ln < 3:
+                continue  # no trigrams → stays NaN
+            rows = np.nonzero((lens == ln) & (li_arr >= 0))[0]
+            if len(rows) == 0:
                 continue
-            out[r] = _doc_logprob(str(t), tri_tab[li], ctx_tab[li])
+            starts = offs[rows]
+            idx = starts[:, None] + np.arange(ln - 2)[None, :]
+            tri = tri_all[idx].astype(np.int64)
+            ctxb = ctx_all[idx].astype(np.int64)
+            li = li_arr[rows]
+            num = tri_tab[li[:, None], tri] + ADD_K
+            den = ctx_tab[li[:, None], ctxb] + ADD_K * CHAR_VOCAB
+            out[rows] = (np.log(num / den).sum(axis=1).astype(np.float64)
+                         / (ln - 2))
     return out
 
 
@@ -187,19 +213,41 @@ def train_lm_portable() -> dict:
 def lm_score_portable_batch(texts, lang_idx: np.ndarray, art: dict
                             ) -> tuple[np.ndarray, np.ndarray]:
     """(n_trigrams, int64 score sum) per text under lang_idx's tables;
-    (0, 0) when lang_idx < 0 or the text has no trigrams."""
+    (0, 0) when lang_idx < 0 or the text has no trigrams. Batched: one
+    shared codepoint buffer + one h2/h3 hash pass for the whole batch,
+    per-row sums via exact int64 prefix sums (order-invariant — bit-equal
+    to the per-row fold by construction)."""
+    from dataquality_spark.models.langid import (
+        L_MAX_CHARS, _batch_prep_portable, _seg_sums)
+    assert L_MAX_CHARS == LM_MAX_CHARS  # the shared-prefix pin (see above)
     qtri, qctx = art["qtri"], art["qctx"]
-    n_out = np.zeros(len(texts), dtype=np.int64)
-    s_out = np.zeros(len(texts), dtype=np.int64)
-    for r, t in enumerate(texts):
-        li = int(lang_idx[r])
-        if li < 0:
-            continue
-        tb, cb = portable_tri_ctx(t)
-        if len(tb) == 0:
-            continue
-        n_out[r] = len(tb)
-        s_out[r] = int(qtri[li][tb].sum() - qctx[li][cb].sum())
+    n_rows = len(texts)
+    n_out = np.zeros(n_rows, dtype=np.int64)
+    s_out = np.zeros(n_rows, dtype=np.int64)
+    if n_rows == 0:
+        return n_out, s_out
+    cp, offs, lens = _batch_prep_portable(texts)
+    ncp = len(cp)
+    h2_all = ((cp[:-1] * 31 + cp[1:]) % _M31 if ncp >= 2
+              else np.zeros(0, dtype=np.int64))
+    h3_all = ((h2_all[:-1] * 31 + cp[2:]) % _M31 if ncp >= 3
+              else np.zeros(0, dtype=np.int64))
+    n3 = np.where(lens >= 3, lens - 2, 0)
+    v3 = np.ones(len(h3_all), dtype=bool)
+    for d in (1, 2):             # last two positions of a row cross rows
+        p = offs[1:] - d
+        m = (p >= 0) & (p < len(h3_all))
+        v3[p[m]] = False
+    tri_flat = h3_all[v3] % LM_BUCKETS
+    ctx_flat = h2_all[:-1][v3] % LM_BUCKETS  # trigram i's context is h2[i]
+    li_arr = np.asarray(lang_idx, dtype=np.int64)
+    li_safe = np.where(li_arr >= 0, li_arr, 0)
+    li_rep = np.repeat(li_safe, n3)
+    sums = (_seg_sums(qtri[li_rep, tri_flat], n3)
+            - _seg_sums(qctx[li_rep, ctx_flat], n3))
+    ok = (li_arr >= 0) & (n3 > 0)
+    n_out[ok] = n3[ok]
+    s_out[ok] = sums[ok]
     return n_out, s_out
 
 

@@ -198,10 +198,10 @@ def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
 
     @F.pandas_udf(PORTABLE_SCHEMA)
     def portable_score_scrub(text: pd.Series) -> pd.DataFrame:
-        pred, margin = L.predict_portable_batch(text, b_lg.value)
-        lg_n = np.fromiter(
-            (len(L.portable_lang_buckets(t)) for t in text.to_numpy(object)),
-            dtype=np.int64, count=len(text))
+        # one batched scorer call yields pred + margin + feature count
+        # (the old per-row portable_lang_buckets pass for lg_n is free now)
+        pred, margin, lg_n = L.portable_scores_batch(
+            list(text.to_numpy(object)), b_lg.value)
         lm_n, lm_num = LM.lm_score_portable_batch(
             text.tolist(), pred, b_lm.value)
         return pd.DataFrame({
