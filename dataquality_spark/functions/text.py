@@ -391,6 +391,11 @@ def lexicon_hits(text: Column, lexicon: list[str]) -> Column:
     list rides in as one compiled pattern per executor, no broadcast
     join needed below ~thousands of terms.
     """
+    if not lexicon:
+        # the degenerate pattern (?i)\b()\b matches the empty string at
+        # every word boundary — an empty lexicon must mean zero hits, not
+        # a per-boundary count (round-5 advisor note)
+        raise ValueError("lexicon_hits requires a non-empty lexicon")
     for w in lexicon:
         if not w.replace("_", "").isalnum() or not w.isascii():
             raise ValueError(f"lexicon term not a plain ASCII word: {w!r}")

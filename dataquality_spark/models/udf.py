@@ -78,7 +78,7 @@ def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
     cover the fused path. When ``quality_art`` is given, the learned quality
     classifier (models/quality.py) rides the SAME Arrow crossing as one more
     struct field instead of a second Python runner."""
-    from dataquality_spark.scrub import scrub_series
+    from dataquality_spark.scrub import scrub_series_sparse
     sc = spark.sparkContext
     b_langid = sc.broadcast(langid_art)
     b_lm = sc.broadcast(lm_art)
@@ -91,7 +91,10 @@ def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
     @F.pandas_udf(schema)
     def score_scrub(text: pd.Series) -> pd.DataFrame:
         out = score_batch(text, b_langid.value, b_lm.value)
-        out["scrubbed_text"] = scrub_series(text)
+        # sparse scrub: unchanged rows return None and the JVM coalesces
+        # with the original column — halves the Arrow return traffic
+        # (scrub.scrub_series_sparse; byte-identical after coalesce)
+        out["scrubbed_text"] = scrub_series_sparse(text)
         if b_q is not None:
             from dataquality_spark.models import quality
             out["q_prob"] = quality.predict_batch(text, b_q.value)
@@ -127,6 +130,8 @@ def with_model_scores_and_scrub(spark: SparkSession, df: DataFrame,
     out = (
         df.select("*", *fields)
         .drop("_m")
+        .withColumn("scrubbed_text",
+                    F.coalesce(F.col("scrubbed_text"), F.col(text_col)))
         .withColumn(
             "r_lang_match",
             F.col("pred_lang").isNotNull()
@@ -191,7 +196,7 @@ def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
     ``make_score_scrub_udf``."""
     from dataquality_spark.models import langid as L
     from dataquality_spark.models import ngram_lm as LM
-    from dataquality_spark.scrub import scrub_series
+    from dataquality_spark.scrub import scrub_series_sparse
     sc = spark.sparkContext
     b_lg = sc.broadcast(plang_art)
     b_lm = sc.broadcast(plm_art)
@@ -210,7 +215,8 @@ def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
             "margin": margin,
             "lm_n": lm_n.astype(np.int32),
             "lm_num": lm_num,
-            "scrubbed_text": scrub_series(text),
+            # sparse scrub (see make_score_scrub_udf): JVM coalesces
+            "scrubbed_text": scrub_series_sparse(text),
         })
 
     return portable_score_scrub.asNondeterministic()
@@ -244,6 +250,8 @@ def with_portable_scores_and_scrub(spark: SparkSession, df: DataFrame,
     return (
         df.select("*", "_m.margin", "_m.lg_n", "_m.lm_n", "_m.lm_num",
                   "_m.scrubbed_text")
+        .withColumn("scrubbed_text",
+                    F.coalesce(F.col("scrubbed_text"), F.col(text_col)))
         .withColumn("pred_lang", pred_lang)
         .withColumn(
             "r_lang_match",

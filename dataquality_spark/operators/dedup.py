@@ -302,19 +302,36 @@ def with_dedup_flag(df: DataFrame, id_cols: tuple[str, str] = ("warc_ts", "url")
 def _lsh_candidate_pairs(base: DataFrame, max_bucket_size: int | None,
                          skew_metrics: dict | None = None) -> DataFrame:
     """Banded-LSH candidate generation over a signature frame with columns
-    (_id, _bands): explode band keys → hot-bucket drop (broadcast
-    anti-join) → bucket self-join → distinct (id_a < id_b) pairs. Shared
-    by ``near_dup_pairs`` and ``minhash_pair_diagnostics`` so the two can
-    never disagree on which pairs LSH surfaces."""
+    (_id, _bands): explode band keys → hot-bucket drop → bucket self-join
+    → distinct (id_a < id_b) pairs. Shared by ``near_dup_pairs`` and
+    ``minhash_pair_diagnostics`` so the two can never disagree on which
+    pairs LSH surfaces.
+
+    The hot-bucket drop is a count-over-bucket WINDOW on the same exchange
+    the self-join needs (guide §2.4: operations keyed the same way share
+    one exchange): the window's partition-by-_bucket sort is exactly the
+    sort-merge join's required ordering, and both join sides reuse the one
+    shuffled+sorted subtree (ReusedExchange in-plan). The round-5 spelling
+    (groupBy count → broadcast anti-join) paid a separate aggregation
+    shuffle plus an eager broadcast-build job for the same row set; it is
+    kept for ``skew_metrics`` callers, who ask for the hot-bucket count as
+    an eager diagnostic."""
     buckets = base.select("_id", F.explode("_bands").alias("_bucket"))
     if max_bucket_size is not None:
-        hot = (buckets.groupBy("_bucket")
-               .agg(F.count(F.lit(1)).alias("_bn"))
-               .where(F.col("_bn") > max_bucket_size)
-               .select("_bucket"))
         if skew_metrics is not None:
+            hot = (buckets.groupBy("_bucket")
+                   .agg(F.count(F.lit(1)).alias("_bn"))
+                   .where(F.col("_bn") > max_bucket_size)
+                   .select("_bucket"))
             skew_metrics["hot_buckets"] = hot.count()
-        buckets = buckets.join(F.broadcast(hot), "_bucket", "left_anti")
+            buckets = buckets.join(F.broadcast(hot), "_bucket", "left_anti")
+        else:
+            from pyspark.sql import Window
+            w = Window.partitionBy("_bucket")
+            buckets = (buckets
+                       .withColumn("_bn", F.count(F.lit(1)).over(w))
+                       .where(F.col("_bn") <= max_bucket_size)
+                       .drop("_bn"))
     a = buckets.select(F.col("_id").alias("id_a"), "_bucket")
     b = buckets.select(F.col("_id").alias("id_b"), "_bucket")
     return (
@@ -642,6 +659,10 @@ def remove_boilerplate_lines(df: DataFrame, id_col: str = "url",
     Returns (id_col, text_col) with the cleaned text ('' when every line
     was boilerplate or the text was null). ``sep`` is a Java regex for the
     split and a literal for the re-join — pass a literal-safe separator.
+    NOTE the rebuild drops BLANK lines too (the trim != '' filter runs
+    before reconstruction), so paragraph structure encoded as empty lines
+    is not preserved — the rebuild is byte-exact over the NON-BLANK lines
+    only, and the oracle mirrors exactly that (round-5 advisor note).
 
     Scale shape: lines cross the wire as 64-bit hashes only. The
     distinct-documents count is two engineered aggregations — a distinct
@@ -774,11 +795,15 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "url",
     buckets = bands.select("_id", "_sh", F.col("_band.b").alias("_b"),
                            F.col("_band.v").alias("_v"))
     if max_bucket_size is not None:
-        hot = (buckets.groupBy("_b", "_v")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .where(F.col("_n") > max_bucket_size)
-               .select("_b", "_v"))
-        buckets = buckets.join(F.broadcast(hot), ["_b", "_v"], "left_anti")
+        # count window on the self-join's own (_b, _v) exchange — same
+        # rows dropped as the old groupBy + broadcast anti-join, minus
+        # one aggregation shuffle and its eager broadcast-build job
+        # (see _lsh_candidate_pairs)
+        from pyspark.sql import Window
+        wb = Window.partitionBy("_b", "_v")
+        buckets = (buckets
+                   .withColumn("_n", F.count(F.lit(1)).over(wb))
+                   .where(F.col("_n") <= max_bucket_size).drop("_n"))
     a = buckets.select(F.col("_id").alias("id_a"),
                        F.col("_sh").alias("sh_a"), "_b", "_v")
     b = buckets.select(F.col("_id").alias("id_b"),

@@ -137,6 +137,13 @@ def chunk_tokens(df: DataFrame, tokens_col: str, chunk_len: int,
         id_cols = ["doc_id"]
     if stride <= 0 or chunk_len <= 0:
         raise ValueError("chunk_len and stride must be positive")
+    if chunk_len < stride:
+        # the docstring's "every token lands in >= 1 chunk" guarantee only
+        # holds when windows at least tile the stride; reject the silent
+        # token-dropping configuration (round-5 advisor note)
+        raise ValueError(
+            f"chunk_len ({chunk_len}) < stride ({stride}) would drop the "
+            f"tokens between windows — use chunk_len >= stride")
     toks = F.coalesce(F.col(tokens_col), F.array().cast("array<string>"))
     # integer div, not floor(double /): same exactness rule as
     # pack_sequences — (n-1) is non-negative under the nc>0 guard, where

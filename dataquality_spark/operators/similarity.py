@@ -321,9 +321,15 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
     if cleanup is not None:
         cleanup.append(base)
     bk = base.select("_id", F.explode("_bkeys").alias("_bucket"))
-    hot = (bk.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
-           .where(F.col("_n") > max_bucket_size).select("_bucket"))
-    bk = bk.join(F.broadcast(hot), "_bucket", "left_anti")
+    # hot-bucket drop as a count window on the self-join's own exchange
+    # (guide §2.4) — same rows dropped as the old groupBy + broadcast
+    # anti-join, minus one aggregation shuffle and the eager broadcast
+    # build job; the window's bucket sort is the sort-merge join's
+    # required ordering, so both join sides reuse one shuffled+sorted
+    # subtree (see operators/dedup._lsh_candidate_pairs)
+    wb = Window.partitionBy("_bucket")
+    bk = (bk.withColumn("_n", F.count(F.lit(1)).over(wb))
+          .where(F.col("_n") <= max_bucket_size).drop("_n"))
     a = bk.select(F.col("_id").alias("id_a"), "_bucket")
     b = bk.select(F.col("_id").alias("id_b"), "_bucket")
     cand = (a.join(b, "_bucket")

@@ -28,7 +28,33 @@ from dataquality_spark.functions import text as TX
 # helpers
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fan_small_scan(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _fan_small_scan(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor (guide §2.5 "input skew" / §6 small files):
+    a table written as one single-row-group parquet file scans as ONE
+    task, so every downstream narrow stage — Arrow UDFs, interpreted
+    HOFs, regex projections — runs serially on one core while the rest
+    idle. When the scan yields fewer splits than the session's
+    parallelism, fan it out with one round-robin repartition (rows
+    balance exactly; `sortBeforeRepartition` keeps the assignment
+    deterministic under retries). SCALE-ADAPTIVE by construction: any
+    input with >= one split per core — every real corpus — skips the
+    repartition entirely, so plans at scale are unchanged. Filter
+    pushdown and column pruning pass through a Repartition node
+    (verified in-plan: PushedFilters/ReadSchema intact), so the scan
+    still prunes. ``SPARK_GRAFT_NO_SCAN_FAN=1`` disables it for A/B.
+    """
+    import os as _os
+    if _os.environ.get("SPARK_GRAFT_NO_SCAN_FAN"):
+        return df
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    # driver-side split count of the planned scan (no job is launched)
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
 
 
 def _doc_hash(col: str = "doc_id"):
@@ -144,15 +170,27 @@ def _gate_flags(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     # all-zero stats): without this, Spark's words_col coalesces while
     # DuckDB propagates NULL through every stat — NULL-text fuzz-found
     docs = docs.withColumn("text", F.coalesce("text", F.lit("")))
-    words = TX.words_col(F.col("text"))
+    # single-pass regexp_count forms (functions/text.py §regex stats):
+    # whole-stage-codegen'd, token-equivalent to the array-HOF spelling the
+    # oracle uses (a "word" is a maximal \S+ run; word_count_rx ≡
+    # len(words), (len − #\s)/wc ≡ the per-word mean over the same
+    # integers, the stopword alternation counts exactly the tokens the
+    # array membership test accepts — the equivalence the pipeline stats
+    # established and the differential fuzzer guards). The HOF spelling
+    # evaluated INTERPRETED, one row at a time, with the 13 stop-list
+    # array literals rebuilt into the plan tree (guide §4.1: prefer
+    # codegen built-ins).
+    t = F.col("text")
+    wc = TX.word_count_rx(t)
     d = docs.select(
         "doc_id", *carry,
-        TX.word_count(words).alias("word_cnt"),
-        F.round(TX.mean_word_len(words), 6).alias("mean_wlen"),
-        F.round(TX.symbol_word_ratio(F.col("text"), words), 6).alias("symbol_frac"),
+        wc.alias("word_cnt"),
+        F.round(TX.mean_word_len_rx(t, wc), 6).alias("mean_wlen"),
+        F.round(F.when(wc > 0, TX.symbol_count(t) / wc), 6)
+        .alias("symbol_frac"),
         # nullif: empty docs yield NULL (no ANSI div-by-zero) — fuzz-found
-        F.round(TX.stopword_count(words, F.col("lang"))
-                / F.nullif(TX.word_count(words), F.lit(0).cast("long")), 6)
+        F.round(TX.stopword_count_rx(t, F.col("lang"))
+                / F.nullif(wc, F.lit(0).cast("long")), 6)
         .alias("stop_frac"),
     )
     return d.select(
@@ -3068,9 +3106,14 @@ WHERE doc_id % 10 >= 8
 
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    words = TX.words_col(F.col("text"))
-    score = F.round(TX.stopword_count(words, F.col("lang"))
-                    / F.nullif(TX.word_count(words),
+    # codegen regexp forms — token-equivalent to the array-HOF spelling
+    # (see _gate_flags); NOTE the raw `text` here may be NULL: regexp_count
+    # coalesces to 0 but the count is 0 for NULL text on the array side
+    # too (words_col coalesces), and the denominator nullif(0) yields the
+    # same NULL score either way
+    t = F.coalesce(F.col("text"), F.lit(""))
+    score = F.round(TX.stopword_count_rx(t, F.col("lang"))
+                    / F.nullif(TX.word_count_rx(t),
                                F.lit(0).cast("long")), 6)
     w = Window.partitionBy("lang").orderBy(
         F.desc_nulls_last("score"), F.asc("doc_id"))
@@ -4933,11 +4976,16 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = TX.words_col(F.col("text"))
     return docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(words)).cast("long").alias("n_tokens"),
-        F.sum(F.length(F.coalesce("text", F.lit(""))))
+        # coalesce the sums like the oracle does: on an EMPTY table Spark's
+        # sum is NULL while the oracle's coalesce(sum, 0) is 0 (round-5
+        # advisor note — a latent differential mismatch, never reachable on
+        # driver data but a fuzzer edge)
+        F.coalesce(F.sum(F.size(words)), F.lit(0))
+         .cast("long").alias("n_tokens"),
+        F.coalesce(F.sum(F.length(F.coalesce("text", F.lit("")))), F.lit(0))
          .cast("long").alias("n_chars"),
-        F.sum(F.when(F.size(words) == 0, 1).otherwise(0))
-         .cast("long").alias("blank_docs"),
+        F.coalesce(F.sum(F.when(F.size(words) == 0, 1).otherwise(0)),
+                   F.lit(0)).cast("long").alias("blank_docs"),
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.countDistinct("source").cast("long").alias("n_sources"),
         F.max(F.size(words)).cast("long").alias("max_doc_tokens"))
@@ -5168,15 +5216,16 @@ def q_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the order statistic relationally (row_number at rank k —
     tied ranks share the value, so the threshold is engine-independent)."""
     from dataquality_spark.models import quality
-    from dataquality_spark.operators.selection import exact_kth_largest
+    from dataquality_spark.operators.selection import (
+        exact_kth_largest_with_count)
     udf = quality.make_quality_logit_udf(
         spark, quality.load_quantized_artifact())
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(udf("text")["logit_num"].alias("logit")).persist()
-    n = scored.count()
-    k = max(1, n * _CALIB_KEEP_PCT // 100)
-    thr = exact_kth_largest(scored, "logit", k)
-    kept = scored.where(F.col("logit") >= thr).count()
+    # one fused count/min/max job + the (fanout-4096) refinement passes;
+    # the >=-threshold count rides the walk — no separate count jobs
+    thr, kept, k, n = exact_kth_largest_with_count(
+        scored, "logit", lambda n: max(1, n * _CALIB_KEEP_PCT // 100))
     out = spark.createDataFrame(
         [(thr, k, kept, n)],
         "threshold bigint, target_k bigint, kept bigint, n_docs bigint")
@@ -5539,18 +5588,21 @@ ORDER BY cluster_size
 _CONFUSION_LANGS = ["de", "en", "es", "fr"]
 
 
-def _stopword_hits(words: F.Column, stoplist: list[str]) -> F.Column:
-    # closure, not a default-arg lambda param: a 2-arg HOF lambda would
-    # receive the element INDEX column as its second argument
-    arr = F.array(*[F.lit(s) for s in stoplist])
-    return F.size(F.filter(
-        words, lambda w: F.array_contains(arr, F.lower(w))))
+def _stopword_hits(text: F.Column, stoplist: list[str]) -> F.Column:
+    # one codegen'd alternation pass per candidate language — counts
+    # exactly the whitespace-delimited tokens the array membership test
+    # accepts (the stopword_count_rx equivalence class, see _gate_flags);
+    # longest-first ordering so prefixes never shadow longer stop words
+    alts = "|".join(sorted(stoplist, key=len, reverse=True))
+    pat = rf"(^|\s)({alts})(?=\s|$)"
+    return F.coalesce(
+        F.regexp_count(F.lower(text), F.lit(pat)), F.lit(0)).cast("int")
 
 
 def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    words = TX.words_col(F.coalesce(F.col("text"), F.lit("")))
-    hits = {lg: _stopword_hits(words, spec.STOPWORDS[lg])
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    hits = {lg: _stopword_hits(txt, spec.STOPWORDS[lg])
             for lg in _CONFUSION_LANGS}
     best = F.array_max(F.array(*[
         F.struct(hits[lg].alias("h"), F.lit(lg).alias("l"))
@@ -5640,12 +5692,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mojibake_stats": q_mojibake_stats,
     "substring_dedup": q_substring_dedup,
     "mixture_rebalance": q_mixture_rebalance,
-    "sb_lm_score": q_sb_lm_score,
+    # r6 rotation: toxicity_score (r5 late addition, the only rotation
+    # class left — exact-oracle but never driver-green) takes
+    # sb_lm_score's slot — driver-green in r2, r3 AND r5 windows per the
+    # established discipline, stays in the local sweep.
+    "toxicity_score": q_toxicity_score,
     "bm25_topk": q_bm25_topk,
     "rolling_anomaly": q_rolling_anomaly,
     "embedding_outliers": q_embedding_outliers,
-    "region_revenue": q_region_revenue,
-    "source_overlap": q_source_overlap,
+    # r6 rotation: attribute_spans (r5 late addition, exact-oracle,
+    # never driver-green) takes region_revenue's slot; threshold_
+    # calibration (same class — the distributed exact-selection
+    # calibration row) takes source_overlap's slot. Both outgoing
+    # entries are multi-round driver-green redundant witnesses and stay
+    # in the local sweep.
+    "attribute_spans": q_attribute_spans,
+    "threshold_calibration": q_threshold_calibration,
     # --- newly exact / new in round 4 ---
     "quality_classifier": q_quality_classifier,
     "dsir_select": q_dsir_select,
@@ -5727,12 +5789,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_error": q_minhash_error,
     "dedup_cluster_stats": q_dedup_cluster_stats,
     "langid_confusion": q_langid_confusion,
-    # --- past the window: round-5 late additions past the 50-slot budget
-    # (sweep + fuzz + pytest evidence; every remaining in-window slot is a
-    # sole witness or a composed-path anchor) ---
-    "toxicity_score": q_toxicity_score,
-    "attribute_spans": q_attribute_spans,
-    "threshold_calibration": q_threshold_calibration,
+    # --- rotated OUT in round 6 (for the three r5 late additions above):
+    # every exact oracle now has a driver-green row in some round once
+    # CORRECTNESS_r06 lands — these three stay in the local sweep ---
+    "sb_lm_score": q_sb_lm_score,
+    "region_revenue": q_region_revenue,
+    "source_overlap": q_source_overlap,
     # --- past the window: exact oracles, driver-green in ≥2 prior rounds ---
     "null_metrics": q_null_metrics,
     "chronology": q_chronology,

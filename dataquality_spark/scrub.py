@@ -86,11 +86,32 @@ def scrub_series(s: pd.Series) -> pd.Series:
     return out
 
 
+def scrub_series_sparse(s: pd.Series) -> pd.Series:
+    """``scrub_series`` with UNCHANGED rows returned as None — the Arrow
+    return-path optimization (guide §4.1: control how many bytes cross the
+    boundary): most web text has no PII witness, so shipping every input
+    string back JVM-ward duplicates the heaviest column for nothing. The
+    JVM side must re-attach via ``coalesce(scrubbed, text)``, which
+    reconstructs ``scrub_series`` byte-identically (NULL inputs stay NULL
+    through both spellings). The != scan is cheap: untouched rows keep the
+    SAME str object, so equality short-circuits on identity; a full
+    compare runs only on witness rows."""
+    out = scrub_series(s)
+    changed = out.notna().to_numpy() & (out.to_numpy(object)
+                                        != s.to_numpy(object))
+    res = pd.Series([None] * len(s), dtype=object, index=s.index)
+    res[changed] = out[changed]
+    return res
+
+
 @F.pandas_udf(T.StringType())
 def scrub_udf(text: pd.Series) -> pd.Series:
-    return scrub_series(text)
+    return scrub_series_sparse(text)
 
 
 def with_scrubbed_text(df: DataFrame, text_col: str = "text",
                        out_col: str = "scrubbed_text") -> DataFrame:
-    return df.withColumn(out_col, scrub_udf(F.col(text_col)))
+    # sparse UDF + coalesce ≡ scrub_series(text) byte-for-byte; only
+    # actually-modified rows cross the boundary back
+    return df.withColumn(
+        out_col, F.coalesce(scrub_udf(F.col(text_col)), F.col(text_col)))

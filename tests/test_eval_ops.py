@@ -232,3 +232,12 @@ def test_pr_curve_is_monotone_and_bounded(spark, sf0001):
         for v in (r.precision, r.recall, r.f1):
             if v is not None:
                 assert 0.0 <= v <= 1.0 and math.isfinite(v)
+
+
+def test_chunk_windows_rejects_token_dropping_config(spark):
+    # chunk_len < stride would silently drop the tokens between windows —
+    # the coverage guarantee in the docstring must be enforced
+    from dataquality_spark.operators.packing import chunk_tokens
+    df = spark.createDataFrame([(1, ["a", "b"])], "doc_id long, ws array<string>")
+    with pytest.raises(ValueError):
+        chunk_tokens(df, "ws", chunk_len=3, stride=5)

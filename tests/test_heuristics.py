@@ -274,3 +274,13 @@ def test_lexicon_hits_rejects_regex_unsafe_terms(spark):
     for bad in ["a.b", "x|y", "", "naïve"]:
         with _pt.raises(ValueError):
             lexicon_hits(F.lit("t"), ["ok", bad])
+
+
+def test_lexicon_hits_rejects_empty_lexicon(spark):
+    # (?i)\b()\b would match at every word boundary — an empty lexicon must
+    # fail loudly, not return spurious nonzero counts
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from dataquality_spark.functions.text import lexicon_hits
+    with _pytest.raises(ValueError):
+        lexicon_hits(F.col("t"), [])

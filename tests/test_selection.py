@@ -54,3 +54,25 @@ def test_kth_largest_ignores_nulls_and_validates_k(spark):
         exact_kth_largest(df, "v", 3)
     with pytest.raises(ValueError):
         exact_kth_largest(df, "v", 0)
+
+
+def test_kth_largest_with_count_matches_sorted(spark):
+    from dataquality_spark.operators.selection import (
+        exact_kth_largest_with_count)
+    for values in (DISTROS["ties_heavy"], DISTROS["negatives"],
+                   DISTROS["singleton"], [7, 7, 7, 7]):
+        df = _frame(spark, values)
+        want = sorted(values, reverse=True)
+        for k in sorted({1, len(values) // 2 or 1, len(values)}):
+            v, ge, k_out, n = exact_kth_largest_with_count(df, "v", k)
+            assert v == want[k - 1]
+            assert ge == sum(1 for x in values if x >= v)
+            assert (k_out, n) == (k, len(values))
+    # callable k: keep-rate spelling needs no separate count job
+    df = _frame(spark, DISTROS["ties_heavy"])
+    vals = DISTROS["ties_heavy"]
+    v, ge, k_out, n = exact_kth_largest_with_count(
+        df, "v", lambda n: max(1, n * 30 // 100))
+    want = sorted(vals, reverse=True)
+    assert k_out == max(1, len(vals) * 30 // 100) and v == want[k_out - 1]
+    assert ge == sum(1 for x in vals if x >= v)
