@@ -27,8 +27,10 @@ from dataquality_spark.functions import text as TX
 # ---------------------------------------------------------------------------
 # helpers
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return _fan_small_scan(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       fan: bool = True) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fan_small_scan(df) if fan else df
 
 
 def _fan_small_scan(df: DataFrame) -> DataFrame:
@@ -426,8 +428,11 @@ GROUP BY 1
 # Q8 — chronology predicate across a join (F-8 / A4: nulls valid)
 
 def q_chronology(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    # fan=False: numeric join over pushed-down scans — the scan fan's
+    # repartition costs more than the serial work it saves (A/B-measured,
+    # OPTIMIZATION_r06.md)
+    li = _t(spark, sf_dir, "lineitem", fan=False)
+    o = _t(spark, sf_dir, "orders", fan=False)
     j = li.join(o, li.l_orderkey == o.o_orderkey)
     viol = (F.col("l_shipdate") < F.col("o_orderdate")) & F.col(
         "l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull()
@@ -453,8 +458,9 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 # Q9 — row-sum consistency check (G-3 / A3): order total vs line items
 
 def q_rowsum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
+    # fan=False: aggregate-then-join of numeric columns (A/B-measured)
+    li = _t(spark, sf_dir, "lineitem", fan=False)
+    o = _t(spark, sf_dir, "orders", fan=False)
     per_order = li.groupBy("l_orderkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
               * (1 + F.col("l_tax"))).alias("recomputed"))
@@ -1091,7 +1097,7 @@ FROM (
 
 def q_iqr_group_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataquality_spark.functions.stats import iqr_group_score
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan=False)  # agg-only (A/B-measured)
     return iqr_group_score(ev, "event_type", "value",
                            factor=1.5, min_score=0.85)
 
@@ -1775,7 +1781,7 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly, daily, and grand-total buckets via native grouping sets
     (Catalyst expands them in a single aggregation — the continuous-
     aggregate pattern without a second scan per granularity)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan=False)  # agg-only (A/B-measured)
     b = ev.select(
         F.date_trunc("day", "ts").alias("day"),
         F.date_trunc("hour", "ts").alias("hour"),
@@ -1849,7 +1855,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation (`operators/asof.py` — one exchange, never a range join);
     the oracle is DuckDB's native ASOF LEFT JOIN."""
     from dataquality_spark.operators.asof import asof_join
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan=False)  # window/join-only (A/B-measured)
     clicks = (ev.where(F.col("event_type") == "click")
               .select("event_id", "user_id", "ts", "value"))
     errors = (ev.where(F.col("event_type") == "error")
@@ -1876,7 +1882,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard two-window composite, one shuffle on user_id reused by
     both windows (lag and cumsum share the partitioning). Emits per-session
     rollups."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events", fan=False)  # window-only (A/B-measured)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact epoch: unix_timestamp truncates to seconds, which
     # would split sessions differently from a fractional-epoch engine
@@ -4201,11 +4207,13 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diverges at the 6dp house rounding once group sums reach ~1e7.
 
 def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nat = _t(spark, sf_dir, "nation")
-    reg = _t(spark, sf_dir, "region")
+    # fan=False on the whole join tree: decimal agg over pushed-down scans
+    # (A/B-measured, OPTIMIZATION_r06.md)
+    li = _t(spark, sf_dir, "lineitem", fan=False)
+    orders = _t(spark, sf_dir, "orders", fan=False)
+    cust = _t(spark, sf_dir, "customer", fan=False)
+    nat = _t(spark, sf_dir, "nation", fan=False)
+    reg = _t(spark, sf_dir, "region", fan=False)
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1).cast("decimal(18,2)")
               - F.col("l_discount").cast("decimal(18,2)")))
@@ -4709,7 +4717,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is integer arithmetic plus one bit-portable IEEE division
     per centroid coordinate (operators/clustering.py)."""
     from dataquality_spark.operators.clustering import kmeans_clusters
-    embs = _t(spark, sf_dir, "embeddings")
+    embs = _t(spark, sf_dir, "embeddings", fan=False)  # iterative agg (A/B-measured)
     pins: list[DataFrame] = []
     out = kmeans_clusters(spark, embs, k=_KMEANS_K, iters=_KMEANS_ITERS,
                           dim=64, cleanup=pins)
