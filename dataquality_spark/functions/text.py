@@ -41,9 +41,19 @@ def word_count_rx(text: Column) -> Column:
         F.regexp_count(text, F.lit(r"\S+")), F.lit(0)).cast("long")
 
 
+# Java regex \s (default, non-UNICODE_CHARACTER_CLASS) is EXACTLY this
+# 6-char ASCII set — a translate() char-map deletes the same characters a
+# `\s` regex pass would count, at memcpy speed instead of regex-engine
+# speed (measured: the \s regexp_count pass alone cost seconds per 600k
+# docs in the rules projection).
+_WS_CHARS = " \t\n\x0b\f\r"
+
+
 def mean_word_len_rx(text: Column, wc: Column) -> Column:
-    """(non-whitespace chars) / word_cnt — identical to the per-word mean."""
-    nonws = F.length(text) - F.regexp_count(text, F.lit(r"\s"))
+    """(non-whitespace chars) / word_cnt — identical to the per-word mean.
+    Whitespace removal via translate() — same count as the former
+    ``regexp_count(text, '\\s')`` pass, no regex engine."""
+    nonws = F.length(F.translate(text, _WS_CHARS, ""))
     return F.when(wc > 0, nonws / wc).otherwise(F.lit(None))
 
 
@@ -114,9 +124,25 @@ def alpha_ratio(words: Column) -> Column:
     return F.when(F.size(words) > 0, n_alpha / F.size(words)).otherwise(F.lit(None))
 
 
+# derive the translate charset from the canonical spec so they cannot
+# drift; the spec is a single plain character class by construction
+_SYMBOL_CHARS = spec.SYMBOL_RE[1:-1]
+# chars that would make the class non-literal: '\', ']', mid-class '-',
+# leading '^' (negation); any of these appearing means the translate
+# spelling no longer mirrors the regex — fail loudly at import
+assert (spec.SYMBOL_RE == "[" + _SYMBOL_CHARS + "]"
+        and "\\" not in _SYMBOL_CHARS and "]" not in _SYMBOL_CHARS
+        and "-" not in _SYMBOL_CHARS
+        and not _SYMBOL_CHARS.startswith("^")), spec.SYMBOL_RE
+
+
 def symbol_count(text: Column) -> Column:
+    """Count of symbol characters — translate() char-map spelling of the
+    former single-char-class ``regexp_count(text, spec.SYMBOL_RE)``
+    (identical count: each match of a one-char class is one character)."""
     return F.coalesce(
-        F.regexp_count(text, F.lit(spec.SYMBOL_RE)), F.lit(0)
+        F.length(text) - F.length(F.translate(text, _SYMBOL_CHARS, "")),
+        F.lit(0)
     ).cast("long")
 
 
@@ -162,8 +188,15 @@ def lines_col(text: Column) -> Column:
 
 
 def dup_line_fraction(text: Column) -> Column:
-    """1 - distinct_lines/total_lines over non-blank lines; null if no lines."""
-    lines = F.filter(lines_col(text), lambda l: ~l.rlike(r"^\s*$"))
+    """1 - distinct_lines/total_lines over non-blank lines; null if no lines.
+
+    Blank test spelled as a translate() char-map (a line from a '\\n'
+    split can contain no '\\n', so "matches ^\\s*$" ≡ "empty after
+    deleting the other five \\s characters") — the HOF still evaluates
+    interpreted, but without a regex match per line."""
+    lines = F.filter(
+        lines_col(text),
+        lambda l: F.length(F.translate(l, _WS_CHARS, "")) != 0)
     return F.when(
         F.size(lines) > 0,
         1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
@@ -173,9 +206,12 @@ def dup_line_fraction(text: Column) -> Column:
 def is_blank(text: Column) -> Column:
     """Null-or-blank flag (reference F-4 `utils/column_operations.py:15-19`).
 
-    "Blank" = only whitespace — regex, not ``trim`` (which strips only spaces).
+    "Blank" = only whitespace — spelled as a translate() char-map ("empty
+    after deleting every \\s character" ≡ the former ``rlike('^\\s*$')``,
+    including the $-before-final-newline case: a string is all-\\s either
+    way), not ``trim`` (which strips only spaces).
     """
-    return text.isNull() | text.rlike(r"^\s*$")
+    return text.isNull() | (F.length(F.translate(text, _WS_CHARS, "")) == 0)
 
 
 def normalize_text(text: Column) -> Column:

@@ -38,6 +38,9 @@ def with_text_stats(df: DataFrame, text_col: str = "text",
     Uses the single-pass regexp_count forms (functions/text.py §regex stats)
     — whole-stage-codegen'd, no interpreted higher-order functions in the
     hot path; token-equivalence with the array forms is oracle-tested.
+    (A Python-side batch counter inside the fused UDF was prototyped and
+    measured SLOWER than these JVM passes — ~240µs/row for the token loop
+    vs ~10µs/row here — so the regex forms stay; see OPTIMIZATION_r06.md.)
     """
     t = F.col(text_col)
     df = df.withColumn("word_cnt", TX.word_count_rx(t))
