@@ -65,7 +65,9 @@ def make_score_udf(spark: SparkSession, langid_art: dict, lm_art: dict):
 
 
 FUSED_SCHEMA = T.StructType(
-    SCORE_SCHEMA.fields + [T.StructField("scrubbed_text", T.StringType())])
+    SCORE_SCHEMA.fields + [T.StructField("scrubbed_text", T.StringType())]
+    + [T.StructField(f, T.LongType()) for f in
+       ("word_cnt", "nonws_len", "symbol_cnt", "nb_lines", "nb_distinct")])
 
 
 def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
@@ -78,6 +80,7 @@ def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
     cover the fused path. When ``quality_art`` is given, the learned quality
     classifier (models/quality.py) rides the SAME Arrow crossing as one more
     struct field instead of a second Python runner."""
+    from dataquality_spark.functions.stats_batch import stats_batch
     from dataquality_spark.scrub import scrub_series_sparse
     sc = spark.sparkContext
     b_langid = sc.broadcast(langid_art)
@@ -95,6 +98,11 @@ def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
         # with the original column — halves the Arrow return traffic
         # (scrub.scrub_series_sparse; byte-identical after coalesce)
         out["scrubbed_text"] = scrub_series_sparse(text)
+        # fixed-ASCII-class text stats ride the same Arrow crossing
+        # (functions/stats_batch: bit-identical to the JVM forms) so the
+        # downstream rules projection skips four per-row JVM text passes
+        for k, v in stats_batch(text).items():
+            out[k] = v
         if b_q is not None:
             from dataquality_spark.models import quality
             out["q_prob"] = quality.predict_batch(text, b_q.value)
@@ -121,7 +129,9 @@ def with_model_scores_and_scrub(spark: SparkSession, df: DataFrame,
                                quality_art=quality_art)
     df = df.withColumn("_m", udf(F.col(text_col)))
     fields = ["_m.pred_lang", "_m.lang_conf", "_m.logprob",
-              "_m.lp_ok", "_m.scrubbed_text"]
+              "_m.lp_ok", "_m.scrubbed_text", "_m.word_cnt",
+              "_m.nonws_len", "_m.symbol_cnt", "_m.nb_lines",
+              "_m.nb_distinct"]
     if quality_art is not None:
         fields.append("_m.q_prob")
     agree = F.col("pred_lang") == F.col(lang_col)
@@ -185,7 +195,8 @@ PORTABLE_SCHEMA = T.StructType([
     T.StructField("lm_n", T.IntegerType()),      # trigram count
     T.StructField("lm_num", T.LongType()),       # Σ quantized logprob terms
     T.StructField("scrubbed_text", T.StringType()),
-])
+] + [T.StructField(f, T.LongType()) for f in
+     ("word_cnt", "nonws_len", "symbol_cnt", "nb_lines", "nb_distinct")])
 
 
 def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
@@ -194,6 +205,7 @@ def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
     (models/langid.py § portable, models/ngram_lm.py § portable) plus the
     byte-exact scrub, one Arrow crossing — same fusion contract as
     ``make_score_scrub_udf``."""
+    from dataquality_spark.functions.stats_batch import stats_batch
     from dataquality_spark.models import langid as L
     from dataquality_spark.models import ngram_lm as LM
     from dataquality_spark.scrub import scrub_series_sparse
@@ -209,7 +221,7 @@ def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
             list(text.to_numpy(object)), b_lg.value)
         lm_n, lm_num = LM.lm_score_portable_batch(
             text.tolist(), pred, b_lm.value)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "pred_idx": pred.astype(np.int32),
             "lg_n": lg_n.astype(np.int32),
             "margin": margin,
@@ -218,6 +230,11 @@ def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
             # sparse scrub (see make_score_scrub_udf): JVM coalesces
             "scrubbed_text": scrub_series_sparse(text),
         })
+        # fixed-ASCII-class text stats on the same crossing (bit-identical
+        # to the JVM forms — functions/stats_batch)
+        for k, v in stats_batch(text).items():
+            out[k] = v
+        return out
 
     return portable_score_scrub.asNondeterministic()
 
@@ -249,7 +266,8 @@ def with_portable_scores_and_scrub(spark: SparkSession, df: DataFrame,
     hi_b = F.when(pred_ok, F.element_at(hi_arr, F.col("_m.pred_idx") + 1))
     return (
         df.select("*", "_m.margin", "_m.lg_n", "_m.lm_n", "_m.lm_num",
-                  "_m.scrubbed_text")
+                  "_m.scrubbed_text", "_m.word_cnt", "_m.nonws_len",
+                  "_m.symbol_cnt", "_m.nb_lines", "_m.nb_distinct")
         .withColumn("scrubbed_text",
                     F.coalesce(F.col("scrubbed_text"), F.col(text_col)))
         .withColumn("pred_lang", pred_lang)

@@ -127,7 +127,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
         df = with_model_scores_and_scrub(spark, df, art["langid"], art["lm"],
                                          quality_art=q_art,
                                          lang_optional=lang_optional)
-    df = with_rule_flags(df)
+    # the fused UDF already emitted the fixed-ASCII-class counts — the
+    # rules projection only runs the Unicode-table-sensitive stats
+    # (alpha \p{L}, stopword lower()) in the JVM (functions/stats_batch)
+    df = with_rule_flags(df, precomputed_stats=True)
     gate = F.col("heuristic_pass") & F.col("r_lang_match") & F.col("r_perplexity")
     if with_classifier:
         gate = gate & F.col("r_quality")

@@ -32,17 +32,50 @@ STAT_COLS = [
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text",
-                    lang_col: str = "lang") -> DataFrame:
+                    lang_col: str = "lang",
+                    precomputed: bool = False) -> DataFrame:
     """Append the canonical text statistics (spec.py) in one projection.
 
     Uses the single-pass regexp_count forms (functions/text.py §regex stats)
     — whole-stage-codegen'd, no interpreted higher-order functions in the
     hot path; token-equivalence with the array forms is oracle-tested.
-    (A Python-side batch counter inside the fused UDF was prototyped and
+    (A Python-side PER-ROW counter inside the fused UDF was prototyped and
     measured SLOWER than these JVM passes — ~240µs/row for the token loop
-    vs ~10µs/row here — so the regex forms stay; see OPTIMIZATION_r06.md.)
+    vs ~10µs/row here — so the standalone path keeps the regex forms.)
+
+    ``precomputed=True`` is the fused-pipeline fast path: the Arrow UDF
+    stage already emitted the fixed-ASCII-class counts (``word_cnt``,
+    ``nonws_len``, ``symbol_cnt``, ``nb_lines``, ``nb_distinct`` —
+    ``functions/stats_batch``, bit-identical to the JVM forms and
+    parity-tested), so only the Unicode-table-sensitive stats
+    (``alpha_frac``'s ``\\p{L}`` class, stopword ``lower()``) and the
+    fraction arithmetic — spelled EXACTLY like the default branch so the
+    IEEE results match bit-for-bit — run in the JVM. The helper count
+    columns are dropped; the output schema is identical either way.
     """
     t = F.col(text_col)
+    if precomputed:
+        wc = F.col("word_cnt")
+        return (
+            df.withColumn(
+                "mean_wlen",
+                F.when(wc > 0, F.col("nonws_len") / wc).otherwise(F.lit(None)))
+            .withColumn("alpha_frac", TX.alpha_ratio_rx(t, wc))
+            .withColumn(
+                "symbol_frac",
+                F.when(wc > 0,
+                       F.col("symbol_cnt") / wc).otherwise(F.lit(None)))
+            .withColumn("stop_cnt", TX.stopword_count_rx(t, F.col(lang_col)))
+            .withColumn(
+                "stop_frac",
+                F.when(wc > 0, F.col("stop_cnt") / wc).otherwise(F.lit(None)))
+            .withColumn(
+                "dupline_frac",
+                F.when(F.col("nb_lines") > 0,
+                       F.lit(1.0) - F.col("nb_distinct") / F.col("nb_lines"))
+                .otherwise(F.lit(None)))
+            .drop("nonws_len", "symbol_cnt", "nb_lines", "nb_distinct")
+        )
     df = df.withColumn("word_cnt", TX.word_count_rx(t))
     wc = F.col("word_cnt")
     return (
@@ -92,10 +125,12 @@ def rule_flags(text_col: str = "text",
 
 def with_rule_flags(df: DataFrame, text_col: str = "text",
                     lang_col: str = "lang",
-                    params: dict | None = None) -> DataFrame:
+                    params: dict | None = None,
+                    precomputed_stats: bool = False) -> DataFrame:
     """stats + one ``r_{rule}: boolean`` column per heuristic rule +
-    ``heuristic_pass`` conjunction. Single projection, no shuffle."""
-    df = with_text_stats(df, text_col, lang_col)
+    ``heuristic_pass`` conjunction. Single projection, no shuffle.
+    ``precomputed_stats`` — see ``with_text_stats``."""
+    df = with_text_stats(df, text_col, lang_col, precomputed=precomputed_stats)
     flags = rule_flags(text_col, params)
     for rule_id, flag in flags.items():
         df = df.withColumn(f"r_{rule_id}", flag)
