@@ -158,18 +158,29 @@ def run_pipeline(spark: SparkSession, pages: DataFrame,
         df.where("pre_dedup_pass"), text_col="text", salt_buckets=salt_buckets,
         precomputed_hash="content_hash",
     )
-    # winners ≈ one row per distinct kept document — at scale that is a huge
-    # table, and even here broadcasting ~half the input is a single-threaded
-    # driver-side build (measured ~30s serial). Shuffle-hash join instead;
-    # AQE skew handling covers hot hashes.
+    # Join-back strategy (guide §3.1/§8): the probe side carries the
+    # pipeline's heaviest column (scrubbed_text), while winners is three
+    # narrow columns — the classic "heavy bytes shuffled to meet a small
+    # decision table" shape. SIZE-GATED broadcast: when the INPUT is small
+    # enough that winners (≤ one narrow row per input doc) is a safe
+    # broadcast, broadcasting deletes the full-frame exchange outright
+    # (measured warm at 600k rows: 18.1s → 16.9s end-to-end, identical
+    # keep count). The gate reuses the same driver-side size estimate as
+    # the cache-level decision above (no extra job); past it — every real
+    # corpus — winners ≈ one row per distinct kept document, far too big
+    # to broadcast, and the plan stays shuffle-hash with AQE skew
+    # handling covering hot hashes.
     #
-    # The join/write stage's partition count scales with the input via
-    # AQE's initialPartitionNum (session.py): exchanges start at 1024 and
-    # coalesce to ~64MB by MEASURED size, so reduce tasks stay heap-
+    # The shuffle path's join/write partition count scales with the input
+    # via AQE's initialPartitionNum (session.py): exchanges start at 1024
+    # and coalesce to ~64MB by MEASURED size, so reduce tasks stay heap-
     # bounded as data grows. (A pre-join repartition(N) cannot do this —
     # EnsureRequirements collapses it back to the conf count when
     # aligning the join sides; observed at 18M pages.)
-    joined = df.join(winners.hint("shuffle_hash"), "content_hash", "left")
+    est = input_bytes_estimate(pages)
+    winners = (F.broadcast(winners) if 0 <= est <= CACHE_MEM_MAX_BYTES
+               else winners.hint("shuffle_hash"))
+    joined = df.join(winners, "content_hash", "left")
     return (
         joined.withColumn(
             "r_dedup",

@@ -197,7 +197,10 @@ def test_pipeline_heap_scale_mechanisms(spark, tmp_path):
         cached = cleanup[0]
         assert cached.storageLevel == StorageLevel.MEMORY_AND_DISK
         plan = ann._jdf.queryExecution().sparkPlan().toString()
-        assert "ShuffledHashJoin" in plan
+        # small input: winners is a safe broadcast — the heavy probe side
+        # (scrubbed_text) must NOT be exchanged for the join-back
+        assert "BroadcastHashJoin" in plan
+        assert "ShuffledHashJoin" not in plan
     finally:
         for f in cleanup:
             f.unpersist()
@@ -205,8 +208,13 @@ def test_pipeline_heap_scale_mechanisms(spark, tmp_path):
     try:
         P.CACHE_MEM_MAX_BYTES = 1            # force the big-input branch
         cleanup2 = []
-        P.run_pipeline(spark, pages, cleanup=cleanup2)
+        ann2 = P.run_pipeline(spark, pages, cleanup=cleanup2)
         assert cleanup2[0].storageLevel == StorageLevel.DISK_ONLY
+        # big input: winners ≈ one row per distinct kept doc — no
+        # broadcast hint from our side; the engineered join is the
+        # skew-tolerant shuffle-hash
+        plan2 = ann2._jdf.queryExecution().sparkPlan().toString()
+        assert "ShuffledHashJoin" in plan2
     finally:
         P.CACHE_MEM_MAX_BYTES = old
         for f in cleanup2:
