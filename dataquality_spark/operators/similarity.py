@@ -43,6 +43,17 @@ _TOPK_SCHEMA = "query_id long, neighbor_id long, cos_sim double, rn int"
 # distributed alternative, mirroring COSINE_ALLPAIRS_MAX_ROWS.
 ANN_MAX_QUERIES = 100_000
 
+# Size gate for embedding_near_dup_pairs' verify-stage vector delivery:
+# at or under this many vectors the whole (id → vector) table broadcasts
+# (~100 MB of float64 at dim 64) and candidate pairs cross to the verify
+# UDF as bare 16-byte id pairs; past it the pairs carry their vectors via
+# the two attach joins (the 100 TB path — a corpus-sized broadcast is an
+# OOM). Probed with ONE bounded limit-collect over the already-persisted
+# signature frame, the same idiom as COSINE_ALLPAIRS_MAX_ROWS, except the
+# overflow here FALLS BACK instead of raising (both paths are exact).
+EMB_VERIFY_LOOKUP_MAX_ROWS = int(
+    __import__("os").environ.get("SPARK_GRAFT_EMB_LOOKUP_MAX", "200000"))
+
 
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str
                      ) -> tuple[np.ndarray, np.ndarray]:
@@ -336,6 +347,86 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"]))
+
+    # Verify-stage vector delivery (guide §8: decide with small rows, move
+    # heavy bytes once). The join form attaches BOTH 64-dim vectors to
+    # every candidate pair, so the pair table crossing to the verify UDF
+    # is ~1 KB/pair; with ~1M candidates at bench shape that Arrow
+    # crossing plus the two attach joins dominated the whole query
+    # (measured 5.2s of 7.7s warm). When the vector table itself is small,
+    # broadcast it once (ids sorted + one float64 matrix) and ship ONLY
+    # the 16-byte id pair — the UDF gathers each side by binary search.
+    # The gathered rows are the same doubles the joins would deliver and
+    # the fold below is unchanged, so every cosine is bit-identical
+    # (oracle-checked). Bounded probe, loud fallback: one limit-collect
+    # over the already-persisted signature frame (the cosine_allpairs /
+    # decontaminate size-gate idiom); past the bound — any real corpus —
+    # the join path is untouched.
+    lut = None
+    probe = (base.select("_id", "_v")
+             .limit(EMB_VERIFY_LOOKUP_MAX_ROWS + 1).collect())
+    if len(probe) <= EMB_VERIFY_LOOKUP_MAX_ROWS:
+        ids = np.fromiter((r[0] for r in probe), dtype=np.int64,
+                          count=len(probe))
+        M = (np.array([r[1] for r in probe], dtype=np.float64)
+             if probe else np.zeros((0, dim), dtype=np.float64))
+        order = np.argsort(ids)
+        lut = spark.sparkContext.broadcast((ids[order], M[order]))
+    del probe
+
+    if lut is not None:
+        b_lut = lut
+
+        def _gather(ida: pd.Series, idb: pd.Series):
+            ids_, M_ = b_lut.value
+            A = M_[np.searchsorted(ids_, ida.to_numpy())]
+            B = M_[np.searchsorted(ids_, idb.to_numpy())]
+            return A, B
+
+        if plane_spec == "portable":
+            # same sequential fold as seq_cos_udf (bit-identical; the
+            # dim-loop adds a_j·b_j in index order like the oracle's
+            # left-to-right list_aggregate)
+            @F.pandas_udf("double")
+            def seq_cos_pair(ida: pd.Series, idb: pd.Series) -> pd.Series:
+                if len(ida) == 0:
+                    return pd.Series(np.zeros(0))
+                A, B = _gather(ida, idb)
+                dot = np.zeros(len(A))
+                na = np.zeros(len(A))
+                nb = np.zeros(len(A))
+                for j in range(A.shape[1]):
+                    dot += A[:, j] * B[:, j]
+                    na += A[:, j] * A[:, j]
+                    nb += B[:, j] * B[:, j]
+                den = (np.maximum(np.sqrt(na), 1e-12)
+                       * np.maximum(np.sqrt(nb), 1e-12))
+                return pd.Series(dot / den)
+
+            return (cand.withColumn("_cos",
+                                    seq_cos_pair(F.col("id_a"),
+                                                 F.col("id_b")))
+                    .where(F.round(F.col("_cos"), 4)
+                           >= F.lit(float(threshold)))
+                    .select("id_a", "id_b",
+                            F.round("_cos", 6).alias("cos_sim")))
+
+        @F.pandas_udf("double")
+        def cos_pair(ida: pd.Series, idb: pd.Series) -> pd.Series:
+            if len(ida) == 0:
+                return pd.Series(np.zeros(0))
+            X, Y = _gather(ida, idb)
+            num = (X * Y).sum(axis=1)
+            den = np.maximum(np.linalg.norm(X, axis=1)
+                             * np.linalg.norm(Y, axis=1), 1e-12)
+            return pd.Series(num / den)
+
+        return (cand.withColumn("cos_sim", cos_pair(F.col("id_a"),
+                                                    F.col("id_b")))
+                .where(F.col("cos_sim") >= threshold)
+                .select("id_a", "id_b",
+                        F.round("cos_sim", 6).alias("cos_sim")))
+
     pairs = (cand
              .join(base.select(F.col("_id").alias("id_a"),
                                F.col("_v").alias("_va")), "id_a")
