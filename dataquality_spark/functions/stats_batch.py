@@ -43,6 +43,60 @@ _WS_LUT[list(_WS_BYTES)] = True
 _SYM_LUT = np.zeros(256, dtype=np.bool_)
 _SYM_LUT[list(_SYM_BYTES)] = True
 
+# --- fast-path gate for the Unicode-SENSITIVE stats (letterless tokens,
+# stopword counts). A row qualifies when every byte is ASCII (< 0x80) and
+# none is in 0x1C-0x1F: on such rows the Unicode-table-dependent JVM forms
+# collapse to fixed ASCII semantics — \p{L} ∩ ASCII = [A-Za-z], full
+# toLowerCase = [A-Z]→[a-z], and Python's str.split() whitespace set ∩
+# the remaining ASCII range = exactly Java's 6-char \s (Python also treats
+# 0x1C-0x1F as whitespace, Java does not — hence their exclusion from the
+# gate). Non-qualifying rows yield NULL and the JVM regex forms run only
+# on that residue (the sparse-return pattern of scrub_series_sparse).
+_FASTGATE_BAD = np.zeros(256, dtype=np.bool_)
+_FASTGATE_BAD[0x80:] = True
+_FASTGATE_BAD[0x1C:0x20] = True
+# A/B kill switch: reject every row (the JVM regex forms then decide all
+# rows, exactly the pre-fast-path plan). Read at import in each worker.
+import os as _os
+if _os.environ.get("SPARK_GRAFT_NO_STATS_FASTPATH"):
+    _FASTGATE_BAD[:] = True
+
+
+# The fast branch works on the row's raw BYTES (sliced straight off the
+# Arrow buffer): on a gate-admitted row the text is pure ASCII, where
+# ``bytes.lower()`` == full toLowerCase, ``bytes.split()``'s whitespace
+# set is EXACTLY Java's 6-char \s (b" \t\n\r\x0b\f" — unlike str.split,
+# no 0x1C-0x1F), and ``bytes.translate`` deletion runs at memchr speed
+# (str.translate with a dict table measured 75 µs/row; bytes 0.3 µs).
+#
+# combined stopword lookup: token bytes → compact key (1-based so the
+# C-level ``filter(None, map(get, toks))`` drops misses without a Python
+# loop); KEYMAT[key-1, lang_i] = 1 when the token is in LANGS[lang_i]'s
+# stoplist. ONE dict probe per token yields the counts for all 13
+# languages at once (the claimed-language selection happens in the JVM,
+# which knows ``lang``). Non-ASCII stopwords (e.g. 'että', 'más') are
+# unreachable from ASCII-only tokens and simply never hit.
+_STOP_KEY: dict[bytes, int] = {}
+for _ws in spec.STOPWORDS.values():
+    for _w in _ws:
+        _STOP_KEY.setdefault(_w.encode("utf-8"), len(_STOP_KEY) + 1)
+_N_KEYS = len(_STOP_KEY)
+_KEYMAT = np.zeros((_N_KEYS, len(spec.LANGS)), dtype=np.int64)
+for _li, _lg in enumerate(spec.LANGS):
+    for _w in spec.STOPWORDS[_lg]:
+        _KEYMAT[_STOP_KEY[_w.encode("utf-8")] - 1, _li] = 1
+
+# letterless tokens via two C-level byte passes: delete every byte that
+# is neither [a-z] nor Java-\s, then count surviving tokens — deletion
+# cannot merge tokens (whitespace is kept) nor split one (remaining
+# bytes of a token stay adjacent), so a token survives iff it contained
+# a letter, and letterless = word_cnt − len(translate(...).split()).
+# On a lowered ASCII row \p{L} collapses to [a-z], so this is exactly
+# the JVM's (^|\s)[^\p{L}\s]+(?=\s|$) count (parity-tested).
+_DEL_NONLET = bytes(c for c in range(128)
+                    if c not in set(b"abcdefghijklmnopqrstuvwxyz"
+                                    + _WS_BYTES))
+
 
 def _seg_sums(mask: np.ndarray, offs: np.ndarray) -> np.ndarray:
     """Per-row sums of a byte mask given int64 row offsets [n+1].
@@ -68,6 +122,18 @@ def stats_batch(texts) -> dict[str, np.ndarray]:
     - ``nb_lines``      — non-blank lines after a '\\n' split
     - ``nb_distinct``   — distinct non-blank lines (byte equality)
 
+    plus the GATED fast-path stats (valid ONLY where ``fast`` is True —
+    see ``_FASTGATE_BAD``; callers must emit NULL elsewhere so the JVM
+    regex forms decide those rows):
+
+    - ``fast``          — bool: row qualifies for the ASCII fast path
+    - ``letterless``    — tokens containing no letter (== the JVM's
+                          ``(^|\\s)[^\\p{L}\\s]+(?=\\s|$)`` count; on a
+                          fast row \\p{L} ∩ ASCII = [A-Za-z])
+    - ``stop_cnts``     — [n, len(spec.LANGS)] tokens equal to a stopword
+                          per language, over full-lowercased text (ASCII
+                          lower on a fast row)
+
     Null rows yield 0 everywhere — the JVM forms' coalesce/gate behavior
     (word_cnt coalesces NULL→0; every fraction is gated on its count).
     """
@@ -80,6 +146,9 @@ def stats_batch(texts) -> dict[str, np.ndarray]:
         "symbol_cnt": np.zeros(n, dtype=np.int64),
         "nb_lines": np.zeros(n, dtype=np.int64),
         "nb_distinct": np.zeros(n, dtype=np.int64),
+        "fast": np.ones(n, dtype=np.bool_),
+        "letterless": np.zeros(n, dtype=np.int64),
+        "stop_cnts": np.zeros((n, len(_KEYMAT)), dtype=np.int64),
     }
     if n == 0:
         return out
@@ -101,6 +170,8 @@ def stats_batch(texts) -> dict[str, np.ndarray]:
         # codepoints = bytes - continuation bytes; each \s char is 1 byte
         out["nonws_len"] = nbytes - cont_cnt - ws_cnt
         out["symbol_cnt"] = _seg_sums(_SYM_LUT[data], offs)
+        # fast-path gate: zero disqualifying bytes in the row
+        out["fast"] = _seg_sums(_FASTGATE_BAD[data], offs) == 0
         # word starts: non-ws byte whose predecessor (within the ROW) is \s
         # or the row start — the global shift would merge runs across row
         # boundaries, so row-start positions are overridden explicitly
@@ -110,9 +181,21 @@ def stats_batch(texts) -> dict[str, np.ndarray]:
         sw[starts] = ~ws[starts]
         out["word_cnt"] = _seg_sums(sw, offs)
     # line dedup: per-row C-speed str ops (few lines per doc); byte
-    # equality of str == codepoint equality == UTF8String equality
+    # equality of str == codepoint equality == UTF8String equality.
+    # The SAME loop runs the fast-path token stats on qualifying rows:
+    # on an ASCII row without 0x1C-0x1F, str.split() == the Java \s
+    # tokenizer, str.lower() == full toLowerCase, and a letter is [a-z]
+    # after lowering — so set/dict probes reproduce the JVM regex counts
+    # exactly (parity-tested per statistic).
     nb_lines = out["nb_lines"]
     nb_distinct = out["nb_distinct"]
+    fast = out["fast"]
+    letterless = out["letterless"]
+    word_cnt = out["word_cnt"]
+    key_get = _STOP_KEY.get
+    del_nonlet = _DEL_NONLET
+    hit_rows: list[int] = []
+    hit_keys: list[int] = []
     for i, t in enumerate(texts):
         if not t or not isinstance(t, str):
             continue
@@ -120,4 +203,21 @@ def stats_batch(texts) -> dict[str, np.ndarray]:
         if nb:
             nb_lines[i] = len(nb)
             nb_distinct[i] = len(set(nb))
+        if fast[i]:
+            # raw row bytes straight off the Arrow buffer (ASCII row —
+            # bytes ops below are exactly the JVM semantics, see above)
+            tb = data[offs[i]:offs[i + 1]].tobytes().lower()
+            # C-level pipeline: split → dict probes → drop misses
+            hits = list(filter(None, map(key_get, tb.split())))
+            if hits:
+                hit_keys.extend(hits)
+                hit_rows.extend([i] * len(hits))
+            letterless[i] = word_cnt[i] - len(
+                tb.translate(None, del_nonlet).split())
+    if hit_keys:
+        # one batched accumulation: (row, key) histogram → one matmul
+        flat = np.asarray(hit_rows, dtype=np.int64) * _N_KEYS \
+            + (np.asarray(hit_keys, dtype=np.int64) - 1)
+        hist = np.bincount(flat, minlength=n * _N_KEYS).reshape(n, _N_KEYS)
+        out["stop_cnts"] = hist @ _KEYMAT
     return out

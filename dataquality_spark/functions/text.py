@@ -57,17 +57,28 @@ def mean_word_len_rx(text: Column, wc: Column) -> Column:
     return F.when(wc > 0, nonws / wc).otherwise(F.lit(None))
 
 
-def alpha_ratio_rx(text: Column, wc: Column) -> Column:
+def alpha_ratio_rx(text: Column, wc: Column,
+                   pre: Column | None = None) -> Column:
     """Fraction of words containing ≥1 Unicode letter: counts the letterless
-    tokens with one bounded character-class pass and subtracts."""
+    tokens with one bounded character-class pass and subtracts.
+
+    ``pre``: optional precomputed letterless-token count (the fused UDF's
+    gated ASCII fast path, ``functions/stats_batch``) — NULL rows fall
+    back to the regex pass via coalesce (lazy in codegen, so the regex
+    runs only on the residue)."""
     non_alpha = F.coalesce(
         F.regexp_count(text, F.lit(r"(^|\s)[^\p{L}\s]+(?=\s|$)")), F.lit(0))
+    if pre is not None:
+        non_alpha = F.coalesce(pre, non_alpha)
     return F.when(wc > 0, (wc - non_alpha) / wc).otherwise(F.lit(None))
 
 
-def stopword_count_rx(text: Column, lang: Column) -> Column:
+def stopword_count_rx(text: Column, lang: Column,
+                      pre: Column | None = None) -> Column:
     """Tokens exactly equal to a stop word, via one alternation pass per
     language branch (CASE WHEN → only the matching branch runs).
+    ``pre``: optional precomputed per-language count array (spec.LANGS
+    order) from the fused UDF's gated ASCII fast path — see below.
 
     Case mapping: Spark's lower() applies FULL Unicode mapping ('İ' →
     'i'+U+0307), DuckDB's the simple fold ('İ' → 'i') — U+0130 is the one
@@ -92,7 +103,24 @@ def stopword_count_rx(text: Column, lang: Column) -> Column:
         branch = count_for(spec.STOPWORDS[lg])
         expr = F.when(lang == lg, branch) if expr is None else expr.when(
             lang == lg, branch)
-    return expr.otherwise(count_for(spec.STOPWORDS["en"]))
+    out = expr.otherwise(count_for(spec.STOPWORDS["en"]))
+    if pre is not None:
+        # precomputed per-language counts (the fused UDF's gated ASCII
+        # fast path — functions/stats_batch): pick the claimed language's
+        # element with the SAME branch structure as the regex CASE (any
+        # lang outside spec.LANGS, incl. NULL, selects the 'en' slot);
+        # NULL array rows (gate-rejected) fall back to the regex CASE —
+        # Coalesce short-circuits in codegen, so the alternation pass
+        # runs only on that residue.
+        idx = None
+        for i, lg in enumerate(spec.LANGS):
+            if lg == "en":
+                continue
+            idx = (F.when(lang == lg, F.lit(i + 1)) if idx is None
+                   else idx.when(lang == lg, F.lit(i + 1)))
+        idx = idx.otherwise(F.lit(spec.LANGS.index("en") + 1))
+        out = F.coalesce(F.element_at(pre, idx).cast("long"), out)
+    return out
 
 
 def words_col(text: Column) -> Column:

@@ -67,7 +67,27 @@ def make_score_udf(spark: SparkSession, langid_art: dict, lm_art: dict):
 FUSED_SCHEMA = T.StructType(
     SCORE_SCHEMA.fields + [T.StructField("scrubbed_text", T.StringType())]
     + [T.StructField(f, T.LongType()) for f in
-       ("word_cnt", "nonws_len", "symbol_cnt", "nb_lines", "nb_distinct")])
+       ("word_cnt", "nonws_len", "symbol_cnt", "nb_lines", "nb_distinct")]
+    # gated fast-path stats (functions/stats_batch): NULL on rows the
+    # ASCII gate rejects — the JVM regex forms decide those via coalesce
+    + [T.StructField("letterless", T.LongType()),
+       T.StructField("stop_cnts", T.ArrayType(T.IntegerType()))])
+
+
+def _emit_stats(out: pd.DataFrame, text: pd.Series) -> pd.DataFrame:
+    """Append stats_batch columns to a fused-UDF result frame, turning the
+    gated stats NULL wherever the row failed the ASCII fast-path gate."""
+    from dataquality_spark.functions.stats_batch import stats_batch
+    st = stats_batch(text)
+    fast = st.pop("fast")
+    ll = st.pop("letterless").astype(object)
+    ll[~fast] = None
+    sc = st.pop("stop_cnts").astype(np.int32).tolist()
+    for k, v in st.items():
+        out[k] = v
+    out["letterless"] = ll
+    out["stop_cnts"] = [sc[i] if fast[i] else None for i in range(len(fast))]
+    return out
 
 
 def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
@@ -80,7 +100,6 @@ def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
     cover the fused path. When ``quality_art`` is given, the learned quality
     classifier (models/quality.py) rides the SAME Arrow crossing as one more
     struct field instead of a second Python runner."""
-    from dataquality_spark.functions.stats_batch import stats_batch
     from dataquality_spark.scrub import scrub_series_sparse
     sc = spark.sparkContext
     b_langid = sc.broadcast(langid_art)
@@ -98,11 +117,11 @@ def make_score_scrub_udf(spark: SparkSession, langid_art: dict, lm_art: dict,
         # with the original column — halves the Arrow return traffic
         # (scrub.scrub_series_sparse; byte-identical after coalesce)
         out["scrubbed_text"] = scrub_series_sparse(text)
-        # fixed-ASCII-class text stats ride the same Arrow crossing
-        # (functions/stats_batch: bit-identical to the JVM forms) so the
-        # downstream rules projection skips four per-row JVM text passes
-        for k, v in stats_batch(text).items():
-            out[k] = v
+        # fixed-ASCII-class text stats + the gated fast-path stats ride
+        # the same Arrow crossing (functions/stats_batch: bit-identical
+        # to the JVM forms) so the downstream rules projection skips the
+        # per-row JVM text passes wherever the gate admits the row
+        out = _emit_stats(out, text)
         if b_q is not None:
             from dataquality_spark.models import quality
             out["q_prob"] = quality.predict_batch(text, b_q.value)
@@ -131,7 +150,7 @@ def with_model_scores_and_scrub(spark: SparkSession, df: DataFrame,
     fields = ["_m.pred_lang", "_m.lang_conf", "_m.logprob",
               "_m.lp_ok", "_m.scrubbed_text", "_m.word_cnt",
               "_m.nonws_len", "_m.symbol_cnt", "_m.nb_lines",
-              "_m.nb_distinct"]
+              "_m.nb_distinct", "_m.letterless", "_m.stop_cnts"]
     if quality_art is not None:
         fields.append("_m.q_prob")
     agree = F.col("pred_lang") == F.col(lang_col)
@@ -196,7 +215,9 @@ PORTABLE_SCHEMA = T.StructType([
     T.StructField("lm_num", T.LongType()),       # Σ quantized logprob terms
     T.StructField("scrubbed_text", T.StringType()),
 ] + [T.StructField(f, T.LongType()) for f in
-     ("word_cnt", "nonws_len", "symbol_cnt", "nb_lines", "nb_distinct")])
+     ("word_cnt", "nonws_len", "symbol_cnt", "nb_lines", "nb_distinct")]
+  + [T.StructField("letterless", T.LongType()),
+     T.StructField("stop_cnts", T.ArrayType(T.IntegerType()))])
 
 
 def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
@@ -205,7 +226,6 @@ def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
     (models/langid.py § portable, models/ngram_lm.py § portable) plus the
     byte-exact scrub, one Arrow crossing — same fusion contract as
     ``make_score_scrub_udf``."""
-    from dataquality_spark.functions.stats_batch import stats_batch
     from dataquality_spark.models import langid as L
     from dataquality_spark.models import ngram_lm as LM
     from dataquality_spark.scrub import scrub_series_sparse
@@ -230,11 +250,9 @@ def make_portable_score_scrub_udf(spark: SparkSession, plang_art: dict,
             # sparse scrub (see make_score_scrub_udf): JVM coalesces
             "scrubbed_text": scrub_series_sparse(text),
         })
-        # fixed-ASCII-class text stats on the same crossing (bit-identical
-        # to the JVM forms — functions/stats_batch)
-        for k, v in stats_batch(text).items():
-            out[k] = v
-        return out
+        # fixed-ASCII-class text stats + gated fast-path stats on the
+        # same crossing (bit-identical to the JVM forms — stats_batch)
+        return _emit_stats(out, text)
 
     return portable_score_scrub.asNondeterministic()
 
@@ -267,7 +285,8 @@ def with_portable_scores_and_scrub(spark: SparkSession, df: DataFrame,
     return (
         df.select("*", "_m.margin", "_m.lg_n", "_m.lm_n", "_m.lm_num",
                   "_m.scrubbed_text", "_m.word_cnt", "_m.nonws_len",
-                  "_m.symbol_cnt", "_m.nb_lines", "_m.nb_distinct")
+                  "_m.symbol_cnt", "_m.nb_lines", "_m.nb_distinct",
+                  "_m.letterless", "_m.stop_cnts")
         .withColumn("scrubbed_text",
                     F.coalesce(F.col("scrubbed_text"), F.col(text_col)))
         .withColumn("pred_lang", pred_lang)

@@ -60,12 +60,19 @@ def with_text_stats(df: DataFrame, text_col: str = "text",
             df.withColumn(
                 "mean_wlen",
                 F.when(wc > 0, F.col("nonws_len") / wc).otherwise(F.lit(None)))
-            .withColumn("alpha_frac", TX.alpha_ratio_rx(t, wc))
+            # letterless / stop_cnts: the gated ASCII fast-path counts —
+            # NULL rows (gate-rejected) fall back to the regex forms
+            # inside the helpers, so the regex passes run only on the
+            # non-ASCII residue (functions/stats_batch)
+            .withColumn("alpha_frac",
+                        TX.alpha_ratio_rx(t, wc, pre=F.col("letterless")))
             .withColumn(
                 "symbol_frac",
                 F.when(wc > 0,
                        F.col("symbol_cnt") / wc).otherwise(F.lit(None)))
-            .withColumn("stop_cnt", TX.stopword_count_rx(t, F.col(lang_col)))
+            .withColumn("stop_cnt",
+                        TX.stopword_count_rx(t, F.col(lang_col),
+                                             pre=F.col("stop_cnts")))
             .withColumn(
                 "stop_frac",
                 F.when(wc > 0, F.col("stop_cnt") / wc).otherwise(F.lit(None)))
@@ -74,7 +81,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text",
                 F.when(F.col("nb_lines") > 0,
                        F.lit(1.0) - F.col("nb_distinct") / F.col("nb_lines"))
                 .otherwise(F.lit(None)))
-            .drop("nonws_len", "symbol_cnt", "nb_lines", "nb_distinct")
+            .drop("nonws_len", "symbol_cnt", "nb_lines", "nb_distinct",
+                  "letterless", "stop_cnts")
         )
     df = df.withColumn("word_cnt", TX.word_count_rx(t))
     wc = F.col("word_cnt")

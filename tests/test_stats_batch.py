@@ -81,6 +81,52 @@ def test_counts_match_jvm_generated(spark, rows):
     _assert_counts_match(spark, rows)
 
 
+GATED_HOSTILE = [
+    None, "", "THE AND is Of", "the the the", "de la el en",
+    "the.\nthe, the", "a\x1cb the", "\x1d\x1e\x1f", "K the",  # Kelvin sign
+    "İ the", "o", "O  o\tO\no", "un2de de2un de un", "das ist DAS",
+    "x" * 300 + " the", "not-a-stopword the notthe", " the ", "\tthe\t",
+    "the\x0bthe\x0cthe", "pero es este estes", "więc być the",
+]
+
+
+@settings(max_examples=4, deadline=None)
+@given(extra=st.lists(st.text(alphabet=ALPHABET, max_size=120) | st.none(),
+                      min_size=10, max_size=30))
+def test_gated_stats_match_jvm_on_fast_rows(spark, extra):
+    """letterless / stop_cnts: on gate-admitted rows the kernel equals the
+    JVM regex forms for EVERY language; on rejected rows it emits NULL."""
+    from dataquality_spark import spec
+    texts = GATED_HOSTILE + extra
+    from dataquality_spark.models.udf import _emit_stats
+    pdf = _emit_stats(pd.DataFrame({"id": range(len(texts)),
+                                    "text": pd.Series(texts, dtype=object)}),
+                      pd.Series(texts, dtype=object))
+    df = spark.createDataFrame(
+        pdf[["id", "text", "letterless", "stop_cnts"]],
+        "id long, text string, letterless long, stop_cnts array<int>")
+    t = F.col("text")
+    wc = TX.word_count_rx(t)
+    sel = [
+        "id", "letterless", "stop_cnts",
+        F.coalesce(F.regexp_count(t, F.lit(r"(^|\s)[^\p{L}\s]+(?=\s|$)")),
+                   F.lit(0)).alias("jvm_letterless"),
+    ]
+    for lg in spec.LANGS:
+        sel.append(TX.stopword_count_rx(t, F.lit(lg)).alias(f"jvm_{lg}"))
+    rows = {r["id"]: r for r in df.select(*sel).collect()}
+    from dataquality_spark.functions.stats_batch import stats_batch
+    fast = stats_batch(pd.Series(texts, dtype=object))["fast"]
+    for i, txt in enumerate(texts):
+        r = rows[i]
+        if not fast[i]:
+            assert r["letterless"] is None and r["stop_cnts"] is None, repr(txt)
+            continue
+        assert r["letterless"] == r["jvm_letterless"], repr(txt)
+        for li, lg in enumerate(spec.LANGS):
+            assert r["stop_cnts"][li] == r[f"jvm_{lg}"], (lg, repr(txt))
+
+
 def _bit_eq(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -101,16 +147,15 @@ def test_precomputed_branch_bit_equals_default(spark, rows):
     df = spark.createDataFrame(pdf, "id long, text string, lang string")
     base = {r["id"]: r.asDict() for r in with_text_stats(df).collect()}
 
-    # attach the kernel's counts the way the fused UDF does, then run the
+    # attach the kernel's counts the way the fused UDF does (incl. the
+    # gated fast-path columns and their NULLing), then run the
     # precomputed branch
-    counts = stats_batch(pdf["text"])
-    pdf2 = pdf.copy()
-    for k, v in counts.items():
-        pdf2[k] = v
+    from dataquality_spark.models.udf import _emit_stats
+    pdf2 = _emit_stats(pdf.copy(), pdf["text"])
     df2 = spark.createDataFrame(
         pdf2, "id long, text string, lang string, word_cnt long, "
               "nonws_len long, symbol_cnt long, nb_lines long, "
-              "nb_distinct long")
+              "nb_distinct long, letterless long, stop_cnts array<int>")
     got = {r["id"]: r.asDict()
            for r in with_text_stats(df2, precomputed=True).collect()}
 
@@ -119,5 +164,6 @@ def test_precomputed_branch_bit_equals_default(spark, rows):
             assert _bit_eq(got[i][col], base[i][col]), (
                 col, repr(pdf["text"][i]), got[i][col], base[i][col])
         # helper columns must not leak into the output schema
-        for helper in ("nonws_len", "symbol_cnt", "nb_lines", "nb_distinct"):
+        for helper in ("nonws_len", "symbol_cnt", "nb_lines", "nb_distinct",
+                       "letterless", "stop_cnts"):
             assert helper not in got[i]
