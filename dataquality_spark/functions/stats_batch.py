@@ -101,15 +101,20 @@ _DEL_NONLET = bytes(c for c in range(128)
 def _seg_sums(mask: np.ndarray, offs: np.ndarray) -> np.ndarray:
     """Per-row sums of a byte mask given int64 row offsets [n+1].
 
-    int32 accumulator when the buffer is small enough (always true for
-    Spark's Arrow batches, capped well under 2 GiB of payload): the
-    cumsum is memory-bound, so halving the accumulator width halves the
-    pass — measured 3.2s → 1.6s per 86 MB × 4 stats single-core."""
-    dt = np.int32 if len(mask) < (1 << 31) else np.int64
-    c = np.empty(len(mask) + 1, dtype=dt)
-    c[0] = 0
-    np.cumsum(mask, dtype=dt, out=c[1:])
-    return (c[offs[1:]] - c[offs[:-1]]).astype(np.int64)
+    ``np.add.reduceat`` over the NON-EMPTY rows' start offsets: a direct
+    segment reduction, no prefix-sum array (the previous cumsum spelling
+    measured ~11 ns/byte × 5 stats — 60% of the whole kernel; reduceat
+    does one add per byte and writes n values instead of len(mask)).
+    Empty rows are excluded because reduceat yields a[i] (not 0) for an
+    empty segment and faults on index == len(a); zero-width rows between
+    two non-empty starts contribute no bytes, so the segment between
+    consecutive non-empty starts is exactly the earlier row's bytes."""
+    n = len(offs) - 1
+    out = np.zeros(n, dtype=np.int64)
+    nz = offs[:-1] < offs[1:]
+    if nz.any():
+        out[nz] = np.add.reduceat(mask, offs[:-1][nz], dtype=np.int64)
+    return out
 
 
 def stats_batch(texts) -> dict[str, np.ndarray]:
@@ -165,10 +170,10 @@ def stats_batch(texts) -> dict[str, np.ndarray]:
         ws = _WS_LUT[data]
         cont = (data & 0xC0) == 0x80
         nbytes = offs[1:] - offs[:-1]
-        ws_cnt = _seg_sums(ws, offs)
-        cont_cnt = _seg_sums(cont, offs)
+        # ws and continuation bytes are disjoint (\s is ASCII, cont is
+        # 0x80-0xBF) — ONE segment reduction covers both, and
         # codepoints = bytes - continuation bytes; each \s char is 1 byte
-        out["nonws_len"] = nbytes - cont_cnt - ws_cnt
+        out["nonws_len"] = nbytes - _seg_sums(ws | cont, offs)
         out["symbol_cnt"] = _seg_sums(_SYM_LUT[data], offs)
         # fast-path gate: zero disqualifying bytes in the row
         out["fast"] = _seg_sums(_FASTGATE_BAD[data], offs) == 0
@@ -189,9 +194,13 @@ def stats_batch(texts) -> dict[str, np.ndarray]:
     # exactly (parity-tested per statistic).
     nb_lines = out["nb_lines"]
     nb_distinct = out["nb_distinct"]
-    fast = out["fast"]
     letterless = out["letterless"]
-    word_cnt = out["word_cnt"]
+    # plain-Python scalars for the hot loop: indexing numpy arrays with a
+    # loop variable costs ~100ns per access in boxing alone
+    fast_l = out["fast"].tolist()
+    wc_l = out["word_cnt"].tolist()
+    buf = data.tobytes() if nbytes_total else b""
+    offs_l = offs.tolist() if nbytes_total else None
     key_get = _STOP_KEY.get
     del_nonlet = _DEL_NONLET
     hit_rows: list[int] = []
@@ -203,16 +212,16 @@ def stats_batch(texts) -> dict[str, np.ndarray]:
         if nb:
             nb_lines[i] = len(nb)
             nb_distinct[i] = len(set(nb))
-        if fast[i]:
+        if fast_l[i]:
             # raw row bytes straight off the Arrow buffer (ASCII row —
             # bytes ops below are exactly the JVM semantics, see above)
-            tb = data[offs[i]:offs[i + 1]].tobytes().lower()
+            tb = buf[offs_l[i]:offs_l[i + 1]].lower()
             # C-level pipeline: split → dict probes → drop misses
             hits = list(filter(None, map(key_get, tb.split())))
             if hits:
                 hit_keys.extend(hits)
                 hit_rows.extend([i] * len(hits))
-            letterless[i] = word_cnt[i] - len(
+            letterless[i] = wc_l[i] - len(
                 tb.translate(None, del_nonlet).split())
     if hit_keys:
         # one batched accumulation: (row, key) histogram → one matmul
