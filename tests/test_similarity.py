@@ -134,6 +134,37 @@ def test_embedding_near_dup_pairs_recall_and_precision(spark):
     assert not background, background
 
 
+def test_embedding_near_dup_lookup_equals_join_path(spark, monkeypatch):
+    """The verify stage's two vector-delivery modes — broadcast id→vector
+    lookup (small corpora) and the attach-join fallback (past the probe
+    bound) — must produce IDENTICAL rows bit-for-bit, under both plane
+    specs. Forcing the bound to 0 exercises the join path on the same
+    input."""
+    from dataquality_spark.operators import similarity as S
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for vid in range(60):
+        v = rng.randn(16)
+        rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+        rows.append((vid + 1000,
+                     (1.7 * v / np.linalg.norm(v)).astype(np.float32).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    for spec_name, thr in (("gauss", 0.9), ("portable", 0.999)):
+        a = S.embedding_near_dup_pairs(
+            spark, df, threshold=thr, dim=16, plane_spec=spec_name
+        ).orderBy("id_a", "id_b").collect()
+        monkeypatch.setattr(S, "EMB_VERIFY_LOOKUP_MAX_ROWS", 0)
+        b = S.embedding_near_dup_pairs(
+            spark, df, threshold=thr, dim=16, plane_spec=spec_name
+        ).orderBy("id_a", "id_b").collect()
+        monkeypatch.undo()
+        assert len(a) > 0, f"{spec_name}: planted scaled twins not found"
+        assert a == b, f"{spec_name}: lookup and join paths diverge"
+
+
 def test_embedding_near_dup_portable_spec(spark):
     """The exact-oracle configuration (quantized Rademacher planes +
     sequential-fold verify) keeps the recall/precision properties of the
