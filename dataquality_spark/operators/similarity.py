@@ -343,10 +343,9 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
           .where(F.col("_n") <= max_bucket_size).drop("_n"))
     a = bk.select(F.col("_id").alias("id_a"), "_bucket")
     b = bk.select(F.col("_id").alias("id_b"), "_bucket")
-    cand = (a.join(b, "_bucket")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"]))
+    cand_raw = (a.join(b, "_bucket")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b"))
 
     # Verify-stage vector delivery (guide §8: decide with small rows, move
     # heavy bytes once). The join form attaches BOTH 64-dim vectors to
@@ -376,6 +375,13 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
 
     if lut is not None:
         b_lut = lut
+        # with the cheap lookup verify, pair dedup moves AFTER the
+        # threshold filter: the cosine is a pure function of the id pair,
+        # so deduping survivors (a few thousand rows) instead of the raw
+        # candidate stream (~1M rows at bench shape) is set-identical and
+        # deletes the large pre-verify exchange+sort. The join fallback
+        # below keeps dedup FIRST — there every duplicate would ship two
+        # vectors through the attach joins.
 
         def _gather(ida: pd.Series, idb: pd.Series):
             ids_, M_ = b_lut.value
@@ -403,13 +409,14 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
                        * np.maximum(np.sqrt(nb), 1e-12))
                 return pd.Series(dot / den)
 
-            return (cand.withColumn("_cos",
-                                    seq_cos_pair(F.col("id_a"),
-                                                 F.col("id_b")))
+            return (cand_raw.withColumn("_cos",
+                                        seq_cos_pair(F.col("id_a"),
+                                                     F.col("id_b")))
                     .where(F.round(F.col("_cos"), 4)
                            >= F.lit(float(threshold)))
                     .select("id_a", "id_b",
-                            F.round("_cos", 6).alias("cos_sim")))
+                            F.round("_cos", 6).alias("cos_sim"))
+                    .dropDuplicates(["id_a", "id_b"]))
 
         @F.pandas_udf("double")
         def cos_pair(ida: pd.Series, idb: pd.Series) -> pd.Series:
@@ -421,12 +428,14 @@ def embedding_near_dup_pairs(spark: SparkSession, df: DataFrame,
                              * np.linalg.norm(Y, axis=1), 1e-12)
             return pd.Series(num / den)
 
-        return (cand.withColumn("cos_sim", cos_pair(F.col("id_a"),
-                                                    F.col("id_b")))
+        return (cand_raw.withColumn("cos_sim", cos_pair(F.col("id_a"),
+                                                        F.col("id_b")))
                 .where(F.col("cos_sim") >= threshold)
                 .select("id_a", "id_b",
-                        F.round("cos_sim", 6).alias("cos_sim")))
+                        F.round("cos_sim", 6).alias("cos_sim"))
+                .dropDuplicates(["id_a", "id_b"]))
 
+    cand = cand_raw.dropDuplicates(["id_a", "id_b"])
     pairs = (cand
              .join(base.select(F.col("_id").alias("id_a"),
                                F.col("_v").alias("_va")), "id_a")
