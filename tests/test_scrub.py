@@ -111,3 +111,42 @@ def test_witness_gating_equals_naive_chain():
     got = scrub_series(s)
     want = s.map(naive)
     assert list(got.fillna("∅")) == list(want.fillna("∅"))
+
+
+def test_digit_lead_bytes_match_interpreter_tables():
+    """The frozen _DIGIT_LEAD_BYTES set must equal the UTF-8 lead bytes
+    of every non-ASCII codepoint this interpreter's \\d matches — a
+    CPython Unicode-table upgrade that adds a digit block with a new
+    lead byte must fail HERE, not silently skip scrubbing those rows."""
+    import re
+
+    from dataquality_spark.scrub import _DIGIT_LEAD_BYTES
+
+    pat = re.compile(r"\d")
+    leads = set()
+    for cp in range(0x80, 0x110000):
+        if 0xD800 <= cp <= 0xDFFF:
+            continue
+        if pat.search(chr(cp)):
+            leads.add(chr(cp).encode("utf-8")[0])
+    assert leads == set(_DIGIT_LEAD_BYTES), sorted(map(hex, leads))
+
+
+def test_digit_witness_superset_and_unicode_digits_scrubbed():
+    """_digit_witness must include every row the regex witness includes
+    (superset soundness), including non-ASCII digit scripts; Latin
+    accent rows without digits must be excluded (the fast path's point)."""
+    import pandas as pd
+
+    from dataquality_spark.scrub import _DIGIT_RE, _digit_witness
+
+    rows = pd.Series([
+        "no digits at all", "x1", "٠١٢ arabic-indic", "１２３ fullwidth",
+        "é accent only", "mixé çédille ñ", "²³ superscripts",
+        "devanagari १२३", "", " ", "\t\n",
+    ])
+    fast = _digit_witness(rows)
+    slow = rows.str.contains(_DIGIT_RE, regex=True)
+    assert (fast | ~slow).all(), "witness missed a \\d row"
+    assert not fast["é accent only" == rows].iloc[0]
+    assert not fast["mixé çédille ñ" == rows].iloc[0]
